@@ -1,0 +1,39 @@
+"""Pipeline configuration (SURVEY.md §7.4).
+
+Every knob that matters at 10^12-document scale is explicit here so a
+cluster run can size shuffles / buckets / Arrow batches without code
+edits (BASELINE.json:14 — partitioning / shuffle / skew handled
+explicitly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- input / output -------------------------------------------------
+    input_path: str = "/root/testdata/sf0.001"
+    output_path: str = ""  # empty → pipeline returns DataFrames, no write
+    # --- partitioning (north_rule: bucketed partitioning on doc_id) ------
+    buckets: int = 64          # doc_id hash buckets for the triple sink
+    shuffle_partitions: int = 32
+    # --- skew (north_rule: key salting on hot entities) -------------------
+    hot_k: int = 100           # top-k hot norm_keys computed by A4
+    salt_k: int = 8            # salt fan-out for hot keys (J6)
+    # --- Arrow / UDF batching (input_hint: vectorized pandas/Arrow UDFs) --
+    arrow_batch: int = 4096
+    # --- feature flags -----------------------------------------------------
+    enable_crf: bool = True    # BiLSTM-CRF-style tagger (SURVEY.md §2.4)
+    enable_phone: bool = True  # PHONE matcher (inferred PII type, §2.3)
+    # --- mention types emitted as HAS_* triples ---------------------------
+    pii_types: tuple[str, ...] = ("EMAIL", "SSN", "PHONE", "ADDRESS")
+    # --- CC loop -----------------------------------------------------------
+    cc_max_iters: int = 20
+    # --- resume ------------------------------------------------------------
+    checkpoint_dir: str = ""   # "" → no checkpointing
+    resume: bool = False       # resume from checkpoint_dir if it has a snapshot
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,75 @@
+"""M0 tests: corpus generator determinism + structure (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pie_spark.fixtures import gazetteer as gz
+from pie_spark.fixtures.gen import gen_doc, golden_triples, interleaved_docs
+
+from .conftest import SF_DIR
+
+
+def _docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+
+
+def test_gen_doc_deterministic():
+    pdf = _docs_pdf().head(50)
+    for d, t in zip(pdf.doc_id, pdf.text):
+        a, b = gen_doc(str(d), t), gen_doc(str(d), t)
+        assert a.spans == b.spans
+        assert a.mentions == b.mentions
+        assert a.triples == b.triples
+
+
+def test_gen_doc_structure():
+    pdf = _docs_pdf()
+    for d, t in zip(pdf.doc_id, pdf.text):
+        g = gen_doc(str(d), t)
+        offs = [s["offset"] for s in g.spans]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        for s in g.spans:
+            if s["kind"] == "text":
+                assert s["text"] is not None and s["media_ref"] is None
+            else:
+                assert s["kind"] in ("image", "audio")
+                assert s["text"] is None and s["media_ref"] is not None
+        for m in g.mentions:
+            sp = g.spans[m["span_idx"]]
+            assert sp["kind"] == "text"
+            assert sp["text"][m["start"] : m["end"]] == m["surface"]
+
+
+def test_gazetteer_shape():
+    ents = gz.dictionary_entries()
+    assert len({e.entity_id for e in ents}) == gz.N_ENTITIES
+    cm = gz.golden_canonical_map()
+    # shared surfaces (490..499 ↔ 0..9) merge exactly 10 components
+    assert len(set(cm.values())) == gz.N_ENTITIES - gz.N_SHARED
+    # every canonical entity is a member of its own component
+    for nk, ce in cm.items():
+        assert ce.startswith("ent:person:")
+    # hot surfaces resolve
+    for s in gz.hot_surfaces():
+        assert gz.normalize_surface(s) in cm
+
+
+def test_spark_synthesis_matches_local(spark):
+    sdf = interleaved_docs(spark, SF_DIR)
+    got = {r["doc_id"]: r["spans"] for r in sdf.collect()}
+    pdf = _docs_pdf()
+    assert len(got) == len(pdf)
+    for d, t in zip(pdf.doc_id[:40], pdf.text[:40]):
+        local = gen_doc(str(d), t).spans
+        remote = [row.asDict() for row in got[str(d)]]
+        assert remote == local
+
+
+def test_golden_triples_shape(spark):
+    gt = golden_triples(spark, SF_DIR)
+    preds = {r["pred"] for r in gt.select("pred").distinct().collect()}
+    assert preds == {
+        "HAS_MEDIA", "MENTIONS", "HAS_EMAIL", "HAS_SSN", "HAS_PHONE", "HAS_ADDRESS",
+    }
+    assert gt.count() > 1000
