@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship KG-construction pipeline on sf0.001.
+queries()     — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible op;
+                iterative/UDF ops (full pipeline, CC, Arrow extraction)
+                are rows-only by design (SURVEY.md §2 oracle column).
 """
 
 from __future__ import annotations
@@ -15,24 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Synthesizes the interleaved-document corpus (FIXTURES.md §2), runs
+    the full extraction → linking → canonicalization → materialization
+    pipeline, returns the (subj, pred, obj) triples DataFrame.
+    """
+    from pie_spark.config import PipelineConfig
+    from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+    from pie_spark.pipeline import run
+
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+    return run(spark, PipelineConfig(), docs, entity_dict_df(spark)).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pie_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pie_spark.queries import QUERIES
+
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

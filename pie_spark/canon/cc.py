@@ -1,0 +1,66 @@
+"""G1: distributed connected components (SURVEY.md §2.8; BASELINE.json:6
+"canonicalizes surface forms via salted-key connected-components
+clustering").
+
+No GraphFrames in the sandbox, so CC is pure DataFrame ops:
+**min-label propagation** — every node repeatedly takes the minimum
+label over itself and its neighbors until a fixed point.
+
+Scale design (10^12-doc design point, BASELINE.json:14):
+  * each iteration is one join (labels ⋈ edges) + one `groupBy(node).
+    agg(min(label))`. `min` is algebraic, so Spark's partial (map-side)
+    aggregation collapses hot-node message floods *before* the shuffle
+    — the classic CC skew pain point — and AQE skew-join splitting
+    (enabled in the session factory) covers the join side. For
+    adversarially hot nodes the caller can pre-salt via
+    pie_spark.canon.salting.salt_edges (splits a hot node into K
+    star-connected siblings, provably component-preserving).
+  * `localCheckpoint(eager=True)` per iteration truncates the plan
+    lineage — without it the logical plan doubles each round (§7.3).
+  * convergence = count of changed labels, a cheap driver-side long;
+    iterations bounded by graph diameter (alias graphs: ≤ a few hops)
+    with a hard cap as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """edges(src, dst) → labels(node, component) with component = min
+    node id (string order) in the component. Deterministic."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iters):
+        msgs = und.join(labels, und.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")

@@ -1,0 +1,69 @@
+"""T3: mention merge + overlap dedup (SURVEY.md §2.4 T3, §2.7 W3/U1).
+
+Union of all detector outputs (regex ∪ gazetteer ∪ CRF), then one
+winner per *overlap chain* within (doc_id, span_idx):
+
+  1. overlap groups: order by start; a mention starts a new group iff
+     its start ≥ running max(end) of everything before it (W3 —
+     running-max window, no UDF);
+  2. winner per group by (detector priority, longer span, earlier
+     start, surface) — a total order, so results are deterministic
+     under any partitioning (SURVEY.md §5.4).
+
+Priority: regex-typed (EMAIL/SSN/PHONE/ADDRESS) > gazetteer > CRF —
+typed patterns are higher-precision than dictionary hits, which beat
+the sequence tagger.
+
+Scale: two window passes over data already hash-partitioned by
+doc_id — Catalyst plans a single shuffle on (doc_id, span_idx) reused
+by both windows; no Python.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _priority():
+    # Column built lazily — module import must not require a live SparkContext
+    return (
+        F.when(F.col("detector") == "regex", 1)
+        .when(F.col("detector") == "gazetteer", 2)
+        .otherwise(3)
+    )
+
+
+def merge_mentions(*mention_dfs: DataFrame) -> DataFrame:
+    """Union detector outputs and resolve overlaps; returns
+    MENTION_SCHEMA plus a stable ``mention_id``."""
+    unioned = reduce(lambda a, b: a.unionByName(b), mention_dfs)
+
+    order = Window.partitionBy("doc_id", "span_idx").orderBy(
+        "start", F.desc("end"), "detector", "mention_type"
+    )
+    prev_max_end = F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = unioned.withColumn(
+        "new_group", F.when(prev_max_end.isNull() | (F.col("start") >= prev_max_end), 1).otherwise(0)
+    ).withColumn(
+        "overlap_group",
+        F.sum("new_group").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    rank = Window.partitionBy("doc_id", "span_idx", "overlap_group").orderBy(
+        _priority().asc(),
+        (F.col("end") - F.col("start")).desc(),
+        F.col("start").asc(),
+        F.col("surface").asc(),
+        F.col("detector").asc(),
+    )
+    return (
+        grouped.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "new_group", "overlap_group")
+        .withColumn(
+            "mention_id",
+            F.xxhash64("doc_id", "span_idx", "start", "end", "mention_type"),
+        )
+    )

@@ -1,0 +1,222 @@
+"""T1/T2: BiLSTM-CRF-style sequence tagger (SURVEY.md §2.4; BASELINE.json:6).
+
+No torch/TF in the sandbox (numpy only), so "BiLSTM-CRF-style" is
+realized as a deterministic **feature-emission + CRF-transition Viterbi
+decoder in numpy**: per-token feature vectors (casing, shape, lexicon
+flags) → linear emission scores; a hand-set transition matrix enforces
+BIO structure (I-X only after B-X/I-X); exact Viterbi decoding over
+tags {O, B-PER, I-PER, B-ADDR, I-ADDR}. Fixed weights ⇒ bit-identical
+output across runs / partitionings / cluster sizes, which the P/R gate
+and the resume test require (SURVEY.md §5.4, §7.3 item 2).
+
+Execution: Iterator-style pandas UDF (one Arrow round trip per batch;
+weights + lexicons are module constants materialized once per Python
+worker — nothing per-row, nothing per-batch).
+
+Role in the pipeline: PERSON/ADDRESS generalization beyond the exact
+gazetteer (e.g. capitalized name-shaped bigrams unseen in the
+dictionary). Final triple emission only trusts *linked* persons and
+*regex-typed* PII (pie_spark/graph/triples.py), so tagger
+generalization can't hurt triple precision.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pie_spark.fixtures import gazetteer as gz
+from pie_spark.schemas import MATCH_STRUCT
+
+TAGS = ["O", "B-PER", "I-PER", "B-ADDR", "I-ADDR"]
+O, BPER, IPER, BADDR, IADDR = range(5)
+
+# feature ids
+FEATS = [
+    "BIAS", "CAP", "ALLCAPS", "FIRSTLEX", "LASTLEX", "INITDOT",
+    "DIGIT_SHORT", "DIGIT_LONG", "STREETLEX", "SUFFIX", "LOWER", "HASDIGIT",
+]
+BIAS, CAP, ALLCAPS, FIRSTLEX, LASTLEX, INITDOT, DIGIT_SHORT, DIGIT_LONG, \
+    STREETLEX, SUFFIX, LOWER, HASDIGIT = range(12)
+
+_FIRST = {w.lower() for w in gz.FIRST_NAMES}
+_LAST = {w.lower() for w in gz.LAST_NAMES}
+_STREET = {w.lower() for w in gz.STREET_NAMES}
+_SUFFIXES = {s.lower() for s in gz.STREET_SUFFIXES}
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD = re.compile(r"[A-Za-z]+")
+
+
+def _emission_weights() -> np.ndarray:
+    W = np.zeros((5, len(FEATS)))
+    W[O, BIAS] = 0.5
+    W[O, LOWER] = 2.0
+    W[O, DIGIT_LONG] = 2.0
+    W[BPER, CAP] = 1.5
+    W[BPER, ALLCAPS] = 1.2
+    W[BPER, FIRSTLEX] = 2.0
+    W[BPER, INITDOT] = 1.5
+    W[BPER, LOWER] = -3.0
+    W[BPER, HASDIGIT] = -3.0
+    W[IPER, CAP] = 1.2
+    W[IPER, ALLCAPS] = 1.2
+    W[IPER, LASTLEX] = 2.5
+    W[IPER, LOWER] = -3.0
+    W[IPER, HASDIGIT] = -3.0
+    W[BADDR, DIGIT_SHORT] = 2.5
+    W[BADDR, LOWER] = -2.0
+    W[BADDR, CAP] = -1.0
+    W[IADDR, STREETLEX] = 2.5
+    W[IADDR, SUFFIX] = 3.0
+    W[IADDR, CAP] = 0.5
+    W[IADDR, LOWER] = -2.0
+    W[IADDR, HASDIGIT] = -2.0
+    return W
+
+
+NEG = -1e4
+
+
+def _transition_weights() -> np.ndarray:
+    T = np.full((5, 5), 0.0)
+    T[:, IPER] = NEG
+    T[:, IADDR] = NEG
+    T[O, O] = 0.5
+    T[BPER, IPER] = 1.0
+    T[IPER, IPER] = 0.2
+    T[BADDR, IADDR] = 1.5
+    T[IADDR, IADDR] = 0.5
+    T[BADDR, O] = -1.0  # lone house-number is (almost) never an address
+    return T
+
+
+def _start_weights() -> np.ndarray:
+    s = np.zeros(5)
+    s[IPER] = NEG
+    s[IADDR] = NEG
+    return s
+
+
+W_EMIT = _emission_weights()
+W_TRANS = _transition_weights()
+W_START = _start_weights()
+
+
+def tokenize(text: str) -> list[tuple[int, int, str]]:
+    """T1: whitespace tokenization with char offsets."""
+    return [(m.start(), m.end(), m.group(0)) for m in _TOKEN_RE.finditer(text)]
+
+
+def features(tokens: list[str]) -> np.ndarray:
+    """Per-token feature matrix (n_tokens × n_feats), vectorizable."""
+    X = np.zeros((len(tokens), len(FEATS)))
+    X[:, BIAS] = 1.0
+    for i, t in enumerate(tokens):
+        low = t.lower().rstrip(".,;:")
+        if t[0].isupper():
+            if len(t) > 1 and t.isupper():
+                X[i, ALLCAPS] = 1.0
+            else:
+                X[i, CAP] = 1.0
+        elif t[0].islower():
+            X[i, LOWER] = 1.0
+        if re.fullmatch(r"[A-Z]\.", t):
+            X[i, INITDOT] = 1.0
+            X[i, CAP] = 0.0
+        if t.isdigit():
+            X[i, DIGIT_SHORT if len(t) <= 5 else DIGIT_LONG] = 1.0
+        if any(c.isdigit() for c in t):
+            X[i, HASDIGIT] = 1.0
+        if low in _FIRST:
+            X[i, FIRSTLEX] = 1.0
+        if low in _LAST:
+            X[i, LASTLEX] = 1.0
+        if low in _STREET:
+            X[i, STREETLEX] = 1.0
+        if low in _SUFFIXES:
+            X[i, SUFFIX] = 1.0
+    return X
+
+
+def viterbi(emissions: np.ndarray) -> list[int]:
+    """Exact max-sum decoding; deterministic argmax (ties → lower tag id)."""
+    n, k = emissions.shape
+    delta = W_START + emissions[0]
+    back = np.zeros((n, k), dtype=np.int64)
+    for t in range(1, n):
+        scores = delta[:, None] + W_TRANS + emissions[t][None, :]
+        back[t] = np.argmax(scores, axis=0)
+        delta = scores[back[t], np.arange(k)]
+    path = [int(np.argmax(delta))]
+    for t in range(n - 1, 0, -1):
+        path.append(int(back[t, path[-1]]))
+    return path[::-1]
+
+
+def tag_text(text: str) -> list[dict]:
+    """T2: decode one span text → PERSON/ADDRESS mentions (≥2 tokens)."""
+    toks = tokenize(text)
+    if not toks:
+        return []
+    X = features([t[2] for t in toks])
+    emissions = X @ W_EMIT.T
+    path = viterbi(emissions)
+    out: list[dict] = []
+    i = 0
+    while i < len(path):
+        if path[i] == BPER or path[i] == BADDR:
+            inner = IPER if path[i] == BPER else IADDR
+            mtype = "PERSON" if path[i] == BPER else "ADDRESS"
+            j = i + 1
+            while j < len(path) and path[j] == inner:
+                j += 1
+            if j - i >= 2:  # single-token persons/addresses are noise
+                out.append(
+                    {
+                        "start": toks[i][0],
+                        "end": toks[j - 1][1],
+                        "mention_type": mtype,
+                        "surface": text[toks[i][0] : toks[j - 1][1]],
+                        "score": 0.7,
+                    }
+                )
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def crf_matches(text_spans: DataFrame) -> DataFrame:
+    """CRF mentions over exploded text spans (detector='crf')."""
+
+    @pandas_udf(MATCH_STRUCT)
+    def tagger(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series([tag_text(t) if t is not None else [] for t in texts])
+
+    with_m = text_spans.select(
+        "doc_id", "span_idx", "offset", tagger("text").alias("ms")
+    )
+    return with_m.select(
+        "doc_id",
+        "span_idx",
+        F.col("offset").alias("span_offset"),
+        F.explode("ms").alias("m"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "span_offset",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.mention_type").alias("mention_type"),
+        F.col("m.surface").alias("surface"),
+        F.lit("crf").alias("detector"),
+        F.col("m.score").alias("score"),
+    )

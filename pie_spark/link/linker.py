@@ -1,0 +1,62 @@
+"""J1/J2 + W1: entity linking against the broadcast dictionary
+(BASELINE.json:6 — "entity linking scores candidate mentions against a
+broadcast dictionary").
+
+J1 is an explicit ``F.broadcast`` hash join on the normalized surface
+key — the dictionary is the known-small side, so we never let the
+planner consider a shuffle join for it. Scoring (J2) is pure native
+column arithmetic (exact-match + token-set Jaccard + popularity prior);
+top-1 per mention via a window with a **total-order tiebreak**
+(score desc, entity_id asc) so linking is deterministic under any
+partitioning (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pie_spark.extract.normalize import norm_key
+
+W_EXACT, W_JACCARD, W_PRIOR = 0.4, 0.3, 0.3
+
+
+def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Link PERSON mentions to dictionary entities.
+
+    Returns mention rows + (entity_id, entity_type, link_score) for the
+    best candidate; mentions with no dictionary candidate are dropped
+    (they contribute no MENTIONS/HAS_* triples — G3 trusts linked
+    persons only).
+    """
+    m = mentions.filter(F.col("mention_type") == "PERSON").withColumn(
+        "norm_key", norm_key("surface")
+    )
+    d = dict_df.select(
+        F.col("norm_key"),
+        F.col("surface").alias("dict_surface"),
+        "entity_id",
+        "entity_type",
+        "prior",
+    )
+    cand = m.join(F.broadcast(d), "norm_key", "inner")
+
+    m_toks = F.split(F.lower("surface"), " ")
+    d_toks = F.split(F.lower("dict_surface"), " ")
+    jaccard = F.size(F.array_intersect(m_toks, d_toks)) / F.size(
+        F.array_union(m_toks, d_toks)
+    )
+    exact = (F.col("surface") == F.col("dict_surface")).cast("double")
+    scored = cand.withColumn(
+        "link_score",
+        W_EXACT * exact + W_JACCARD * jaccard + W_PRIOR * F.col("prior"),
+    )
+
+    best = Window.partitionBy("mention_id").orderBy(
+        F.desc("link_score"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dict_surface", "prior")
+    )

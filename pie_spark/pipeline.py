@@ -1,0 +1,101 @@
+"""The flagship batch pipeline (SURVEY.md §3.1; BASELINE.json north_star).
+
+    docs → explode → [regex ∪ gazetteer ∪ CRF] (Arrow UDF stage)
+         → merge/overlap-dedup → broadcast linking → CC canonicalization
+         → triple materialization (MENTIONS / HAS_* / HAS_MEDIA)
+
+Shuffle budget (what actually moves at 10^12 docs):
+  * one shuffle on (doc_id, span_idx) for the merge windows — reused by
+    both window passes;
+  * one shuffle on doc_id for W4 pairing;
+  * one shuffle for the A5 dedup groupBy;
+  * CC iterations shuffle only the (tiny relative to corpus) dictionary
+    graph, never the corpus;
+  * linking and J4 canonical attachment are broadcast joins — zero
+    corpus shuffle (salted shuffle-join fallback for huge dictionaries).
+
+The detector stage is persisted before fan-out so the (expensive)
+Python/Arrow stage runs exactly once even though three consumers read
+it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from pie_spark.canon.canonical import key_canonical_map
+from pie_spark.canon.cc import connected_components
+from pie_spark.canon.edges import build_edges
+from pie_spark.canon.salting import salt_edges, strip_salted_nodes
+from pie_spark.config import PipelineConfig
+from pie_spark.extract.gazetteer import gazetteer_matches
+from pie_spark.extract.matchers import regex_matches
+from pie_spark.extract.merge import merge_mentions
+from pie_spark.extract.spans import explode_spans, media_spans, text_spans
+from pie_spark.extract.tagger import crf_matches
+from pie_spark.graph.triples import _with_canon, all_triples
+from pie_spark.link.linker import link_mentions
+from pie_spark.link.stats import hot_keys, surface_frequencies
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    spans: DataFrame
+    merged_mentions: DataFrame
+    linked: DataFrame
+    labels: DataFrame
+    triples: DataFrame
+    hot: list[str]
+
+    def unpersist(self) -> None:
+        self.merged_mentions.unpersist()
+        self.triples.unpersist()
+
+
+def run(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    docs: DataFrame,
+    dict_df: DataFrame,
+) -> PipelineResult:
+    spans = explode_spans(docs)
+    txt = text_spans(spans)
+    med = media_spans(spans)
+
+    detectors = [
+        regex_matches(txt, enable_phone=cfg.enable_phone),
+        gazetteer_matches(
+            txt, spark, [r.surface for r in dict_df.select("surface").distinct().collect()]
+        ),
+    ]
+    if cfg.enable_crf:
+        detectors.append(crf_matches(txt))
+    merged = merge_mentions(*detectors).persist(StorageLevel.MEMORY_AND_DISK)
+
+    linked = link_mentions(merged, dict_df)
+
+    freqs = surface_frequencies(merged)
+    hot = hot_keys(freqs, cfg.hot_k)
+
+    edges = build_edges(dict_df)
+    edges = salt_edges(edges, ["k:" + h for h in hot], cfg.salt_k)
+    labels = strip_salted_nodes(connected_components(edges, cfg.cc_max_iters))
+    key_map = key_canonical_map(labels)
+
+    linked_canon = _with_canon(linked, key_map).persist(StorageLevel.MEMORY_AND_DISK)
+    triples = all_triples(med, linked_canon, merged, cfg.pii_types).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return PipelineResult(
+        docs=docs,
+        spans=spans,
+        merged_mentions=merged,
+        linked=linked_canon,
+        labels=labels,
+        triples=triples,
+        hot=hot,
+    )

@@ -1,0 +1,79 @@
+"""G1 connected components vs pure-python union-find; salting
+equivalence (§5.2 test_cc_unionfind)."""
+
+import zlib
+
+from pie_spark.canon.cc import connected_components
+from pie_spark.canon.edges import build_edges
+from pie_spark.canon.salting import salt_edges, strip_salted_nodes
+from pie_spark.fixtures import gazetteer as gz
+from pie_spark.fixtures.gen import entity_dict_df
+
+
+def _unionfind(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # min element per component, two-pass
+    mins = {}
+    for x in list(parent):
+        r = find(x)
+        mins[r] = min(mins.get(r, x), x)
+    return {x: mins[find(x)] for x in parent}
+
+
+def _assert_matches_unionfind(spark, pairs, labels_df):
+    want = _unionfind(pairs)
+    got = {r["node"]: r["component"] for r in labels_df.collect()}
+    assert got == want
+
+
+def test_cc_simple_chain(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    _assert_matches_unionfind(spark, pairs, connected_components(edges))
+
+
+def test_cc_dictionary_graph_matches_golden(spark):
+    edges = build_edges(entity_dict_df(spark))
+    labels = connected_components(edges)
+    got = {
+        r["node"][2:]: r["component"][2:]
+        for r in labels.collect()
+        if r["node"].startswith("k:")
+    }
+    want = gz.golden_canonical_map()
+    # component label is min node string = "e:<min entity>" when entity
+    # ids sort below key strings; map through canonical entity instead:
+    # verify partition equality — same keys grouped together
+    by_comp_got = {}
+    for k, c in got.items():
+        by_comp_got.setdefault(c, set()).add(k)
+    by_comp_want = {}
+    for k, c in want.items():
+        by_comp_want.setdefault(c, set()).add(k)
+    assert set(map(frozenset, by_comp_got.values())) == set(
+        map(frozenset, by_comp_want.values())
+    )
+
+
+def test_cc_salted_equals_unsalted(spark):
+    # a hot hub node with many spokes + a chain through it
+    pairs = [("hub", f"s{i:02d}") for i in range(40)] + [("s00", "tail"), ("q", "r")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    plain = connected_components(edges)
+    salted = strip_salted_nodes(
+        connected_components(salt_edges(edges, ["hub"], salt_k=4))
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
