@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol; driver records BENCH_r{N}.json).
+
+Runs the flagship KG-construction pipeline + headline operator queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": "...", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+
+Protocol: corpus synthesized once to a temp parquet (bench measures the
+engine, not the generator); one warmup run discarded; N_RUNS measured
+pipeline runs, median reported. Set PIE_BENCH_SCALING=1 to also measure
+local[8] vs local[32] scaling efficiency (slower; used for BENCH/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+N_RUNS = 3
+
+
+def _mk_session(cores: int, app: str):
+    from pie_spark.session import build_session
+
+    return build_session(
+        app_name=app, master=f"local[{cores}]", shuffle_partitions=2 * cores
+    )
+
+
+def _materialize_corpus(spark, sf_dir: str, out_dir: str) -> int:
+    from pie_spark.fixtures.gen import interleaved_docs
+
+    docs = interleaved_docs(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def _run_pipeline(spark, docs_path: str) -> tuple[float, int]:
+    from pie_spark.config import PipelineConfig
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.pipeline import run
+    from pie_spark.schemas import DOC_SCHEMA
+
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_path)
+    t0 = time.perf_counter()
+    res = run(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    n = res.triples.count()
+    wall = time.perf_counter() - t0
+    res.unpersist()
+    return wall, n
+
+
+def _time_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = N_RUNS):
+    spark = _mk_session(cores, f"pie-bench-{cores}")
+    try:
+        n_docs = spark.read.parquet(docs_path).count()
+        _run_pipeline(spark, docs_path)  # warmup (JIT, codegen, Arrow init)
+        walls = [_run_pipeline(spark, docs_path)[0] for _ in range(n_runs)]
+        walls.sort()
+        med = walls[len(walls) // 2]
+        return {"wall_sec": med, "all_runs": walls, "docs": n_docs,
+                "docs_per_sec": n_docs / med}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    tmp = tempfile.mkdtemp(prefix="pie_bench_")
+    docs_path = os.path.join(tmp, "interleaved_docs.parquet")
+    try:
+        spark = _mk_session(cores, "pie-bench-main")
+        n_docs = _materialize_corpus(spark, sf_dir, docs_path)
+
+        # headline operator queries (one timed run each, after a tiny warmup)
+        from pie_spark.queries import QUERIES
+
+        headline = [
+            "span_explode", "email_extract", "surface_freq", "top1_candidate",
+            "broadcast_dim_join", "nearest_prev_pair", "canonical_election",
+            "triple_dedup", "cc_canonical_map",
+        ]
+        qtimes: dict[str, float] = {}
+        for name in headline:
+            fn, _ = QUERIES[name]
+            qtimes[name] = round(_time_query(fn, spark, sf_dir), 3)
+
+        # flagship pipeline: warmup + median of N_RUNS
+        _run_pipeline(spark, docs_path)
+        walls = sorted(_run_pipeline(spark, docs_path)[0] for _ in range(N_RUNS))
+        med = walls[len(walls) // 2]
+        qtimes["pipeline"] = round(med, 3)
+        spark.stop()
+
+        out = {
+            "metric": "kg_pipeline_wall_sec",
+            "value": round(med, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": float(sf),
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / med, 1),
+            "cores": cores,
+            "runs": [round(w, 3) for w in walls],
+        }
+
+        if os.environ.get("PIE_BENCH_SCALING") == "1":
+            lo = bench_at(8, sf_dir, docs_path)
+            hi = bench_at(32, sf_dir, docs_path)
+            eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+            out["scaling"] = {
+                "docs_per_sec_8": round(lo["docs_per_sec"], 1),
+                "docs_per_sec_32": round(hi["docs_per_sec"], 1),
+                "efficiency_8_to_32": round(eff, 3),
+            }
+
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """edges(src, dst) → labels(node, component) with component = min
-    node id (string order) in the component. Deterministic."""
+    node id (string order) in the component. Deterministic.
+
+    Per-iteration cost: ONE join (labels→neighbors) + ONE partial-agg
+    groupBy. The previous label rides along inside the same aggregation
+    (``max(old)`` — each node contributes exactly one self row), so the
+    convergence check is a cheap count over the already-checkpointed
+    result instead of an extra shuffle join.
+    """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -45,22 +52,17 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
 
     for _ in range(max_iters):
         msgs = und.join(labels, und.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+            F.col("dst").alias("node"), "label", F.lit(None).cast("string").alias("old")
         )
+        self_rows = labels.select("node", "label", F.col("label").alias("old"))
         new = (
-            labels.select("node", "label")
-            .union(msgs)
+            self_rows.union(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "component")

@@ -56,16 +56,14 @@ class PipelineResult:
         self.triples.unpersist()
 
 
-def run(
-    spark: SparkSession,
-    cfg: PipelineConfig,
-    docs: DataFrame,
-    dict_df: DataFrame,
-) -> PipelineResult:
-    spans = explode_spans(docs)
-    txt = text_spans(spans)
-    med = media_spans(spans)
-
+def extract_stage(
+    spark: SparkSession, cfg: PipelineConfig, docs: DataFrame, dict_df: DataFrame
+) -> DataFrame:
+    """Explode + all detectors + overlap-merge → mention rows. This is
+    the checkpointable unit: its output is deterministic per doc, so a
+    resumed run unions checkpointed mentions with fresh ones and gets a
+    byte-identical downstream (SURVEY.md §5.1 resume test)."""
+    txt = text_spans(explode_spans(docs))
     detectors = [
         regex_matches(txt, enable_phone=cfg.enable_phone),
         gazetteer_matches(
@@ -74,8 +72,21 @@ def run(
     ]
     if cfg.enable_crf:
         detectors.append(crf_matches(txt))
-    merged = merge_mentions(*detectors).persist(StorageLevel.MEMORY_AND_DISK)
+    return merge_mentions(*detectors)
 
+
+def downstream_stage(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    docs: DataFrame,
+    merged: DataFrame,
+    dict_df: DataFrame,
+) -> PipelineResult:
+    """Everything after mention extraction: linking, CC canonicalization,
+    triple materialization. ``merged`` may come fresh or from a
+    checkpoint snapshot."""
+    spans = explode_spans(docs)
+    med = media_spans(spans)
     linked = link_mentions(merged, dict_df)
 
     freqs = surface_frequencies(merged)
@@ -99,3 +110,17 @@ def run(
         triples=triples,
         hot=hot,
     )
+
+
+def run(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    docs: DataFrame,
+    dict_df: DataFrame,
+) -> PipelineResult:
+    """Fresh end-to-end run (no checkpointing — see
+    pie_spark.runner.run_checkpointed for the resumable path)."""
+    merged = extract_stage(spark, cfg, docs, dict_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return downstream_stage(spark, cfg, docs, merged, dict_df)

@@ -1,0 +1,110 @@
+"""M7 tests: snapshot table atomicity, resume correctness (byte-identical
+triples), lineage rows per partition (FIXTURES.md §5; BASELINE.md)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pie_spark.config import PipelineConfig
+from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+from pie_spark.io.snapshots import SnapshotTable, resume_delta
+from pie_spark.runner import run_checkpointed
+
+from .conftest import SF_DIR
+
+
+def _hash(df):
+    return (
+        df.select(F.md5(F.concat_ws("\x00", "subj", "pred", "obj", "doc_id")).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 12), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+
+
+def test_snapshot_table_roundtrip(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    sid1 = t.commit({"d": df1}, meta={"k": "v1"})
+    df2 = spark.range(9).withColumnRenamed("id", "x")
+    sid2 = t.commit({"d": df2})
+    assert (sid1, sid2) == (1, 2)
+    assert t.current_snapshot() == 2
+    assert t.scan(spark, "d").count() == 9          # current
+    assert t.scan(spark, "d", sid1).count() == 5    # pinned (S2)
+    assert t.meta(sid1) == {"k": "v1"}
+    snaps = t.snapshots()
+    assert snaps[1].parent == 1
+
+
+def test_manifest_last_commit_is_atomic(spark, tmp_path):
+    # a crash between data write and manifest publish must leave the old
+    # snapshot current — simulate by writing data without manifest update
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit({"d": spark.range(3)})
+    # orphan data dir (as if a commit died pre-manifest)
+    os.makedirs(str(tmp_path / "t" / "d" / "snap-000099"), exist_ok=True)
+    assert t.current_snapshot() == 1
+    assert t.scan(spark, "d").count() == 3
+
+
+def test_resume_delta_anti_join(spark):
+    docs = spark.createDataFrame([("a",), ("b",), ("c",)], ["doc_id"])
+    done = spark.createDataFrame([("b",), ("x",)], ["doc_id"])
+    left = sorted(r["doc_id"] for r in resume_delta(docs, done).collect())
+    assert left == ["a", "c"]
+
+
+@pytest.mark.slow
+def test_resume_byte_identical(spark, tmp_path):
+    docs = interleaved_docs(spark, SF_DIR)
+    d = entity_dict_df(spark)
+    half = docs.filter(F.col("doc_id").cast("long") % 2 == 0)
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+
+    # phase 1: run only half the corpus, committing the extract checkpoint
+    cfg1 = PipelineConfig(checkpoint_dir=ckpt, output_path="")
+    r1 = run_checkpointed(spark, cfg1, half, d)
+    assert r1.extract_snapshot == 1
+
+    # phase 2: resume over the FULL corpus — only the other half re-extracts
+    cfg2 = PipelineConfig(checkpoint_dir=ckpt, output_path=out1, resume=True)
+    r2 = run_checkpointed(spark, cfg2, docs, d)
+    assert r2.resumed_docs is not None and 0 < r2.resumed_docs < docs.count()
+
+    # fresh uninterrupted run for comparison
+    cfg3 = PipelineConfig()
+    from pie_spark.pipeline import run
+
+    fresh = run(spark, cfg3, docs, d)
+    assert _hash(r2.result.triples) == _hash(fresh.triples)
+    fresh.unpersist()
+    r1.result.unpersist()
+    r2.result.unpersist()
+
+
+@pytest.mark.slow
+def test_output_snapshot_lineage_and_buckets(spark, tmp_path):
+    docs = interleaved_docs(spark, SF_DIR)
+    d = entity_dict_df(spark)
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(output_path=out, checkpoint_dir=str(tmp_path / "ck"), buckets=8)
+    r = run_checkpointed(spark, cfg, docs, d, input_snapshot="sf0.001")
+    t = SnapshotTable(out)
+
+    # triples round-trip through the sink, pred-partitioned dirs exist
+    triples = t.scan(spark, "triples")
+    assert triples.count() == r.result.triples.count()
+    snap_dir = t._resolve(None)["datasets"]["triples"]
+    assert any(p.startswith("pred=") for p in os.listdir(snap_dir))
+
+    # lineage rows exist for every partition of both stages
+    lin = t.scan(spark, "lineage")
+    stages = {x["stage"] for x in lin.select("stage").distinct().collect()}
+    assert stages == {"extract", "materialize"}
+    assert lin.filter(F.col("docs_in") <= 0).count() == 0
+    assert lin.filter(F.col("input_snapshot") != "sf0.001").count() == 0
+    r.result.unpersist()
