@@ -1,0 +1,55 @@
+"""n-gram Jaccard near-dedup with rare-shingle blocking
+(training-data pipeline op).
+
+Candidate generation: self-join ONLY on shingles whose document
+frequency ≤ ``max_df`` (a common shingle contributes O(df²) candidate
+pairs — the blocking bound); verification: exact Jaccard over the
+full distinct-shingle arrays of each candidate pair via
+``array_intersect``/``array_union`` — exact, no second shuffle over
+the corpus (arrays ride the candidate join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pie_spark.dedup.shingles import doc_shingles, shingle_array
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ threshold), exact on candidates."""
+    sh = doc_shingles(docs, text_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    a = rare.select("shingle", F.col("doc_id").alias("doc_a"))
+    b = rare.select("shingle", F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = docs.select(
+        "doc_id", shingle_array(text_col, n).alias("sh")
+    )
+    pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -347,6 +347,269 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+_DUCK_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+_DUCK_TOKS = f"string_split({_DUCK_NORM}, ' ')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len(toks)-3,0)+1), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))"
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.text.analysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.text.analysis import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _hits_sql(word: str) -> str:
+    pad = f"(' ' || text || ' ')"
+    return (
+        f"CAST((length({pad}) - length(regexp_replace({pad}, ' {word} ', ' ', 'g')))"
+        f" / {len(word) + 1} AS INT)"
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_m,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+         {_hits_sql('the')} + {_hits_sql('and')} + {_hits_sql('of')} + {_hits_sql('a')} AS stop_hits
+  FROM documents
+), p AS (
+  SELECT doc_id, n_chars_m, n_tokens,
+         CAST(floor(punct * 1000000 / greatest(n_chars_m, 1)) AS BIGINT) AS punct_ppm,
+         CAST(floor(stop_hits * 1000000 / greatest(n_tokens, 1)) AS BIGINT) AS stopword_ppm,
+         CAST(floor(n_distinct * 1000000 / greatest(n_tokens, 1)) AS BIGINT) AS ttr_ppm,
+         least(CAST(floor(n_chars_m * 1000000 / 400) AS BIGINT), 1000000) AS len_ppm
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_chars_m AS BIGINT) AS n_chars_m,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       punct_ppm, stopword_ppm, ttr_ppm,
+       CAST(floor(len_ppm * 2 / 5)
+            + floor(least(stopword_ppm * 5, 1000000) * 3 / 10)
+            + floor((1000000 - punct_ppm) * 3 / 10) AS BIGINT) AS quality_ppm
+FROM p
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.text.analysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    from pie_spark.text.analysis import LANG_STOPWORDS
+
+    hit_exprs = {
+        lang: " + ".join(_hits_sql(w) for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    cols = ", ".join(
+        f"CAST({e} AS BIGINT) AS hits_{lang}" for lang, e in hit_exprs.items()
+    )
+    # argmax with (hits, lang) struct-max — mirror Spark's array_sort pick
+    structs = ", ".join(
+        f"{{'hits': hits_{lang}, 'lang': '{lang}'}}" for lang in hit_exprs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in hit_exprs)},
+       list_sort([{structs}])[{len(hit_exprs)}].lang AS lang_guess
+FROM t
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.text.analysis import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_NORM} AS norm, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, md5(norm) AS content_md5,
+       list_min(list_transform({_DUCK_SHINGLES}, s -> md5(s))) AS min_shingle_md5
+FROM t
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.dedup.exact import duplicate_groups
+
+    return duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT md5({_DUCK_NORM}) AS content_md5, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.dedup.minhash import K_PERMS, signatures
+
+    sig = signatures(_t(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id", *[sig["sig"][p].alias(f"h{p}") for p in range(K_PERMS)]
+    )
+
+
+def _minhash_sql() -> str:
+    from pie_spark.dedup.minhash import K_PERMS
+
+    mins = ", ".join(
+        f"min(CAST(('0x' || substr(md5('p{p}:' || s), 1, 15)) AS UBIGINT)::BIGINT) AS h{p}"
+        for p in range(K_PERMS)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM base)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded bucket join — rows-only)."""
+    from pie_spark.dedup.minhash import near_duplicates
+
+    return near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.dedup.simhash import simhash_chunks
+
+    return simhash_chunks(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band near-dup pairs (rows-only)."""
+    from pie_spark.dedup.simhash import near_duplicate_pairs
+
+    return near_duplicate_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.dedup.ngram import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+arr AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM base),
+ex  AS (SELECT doc_id, unnest(sh) AS shingle FROM arr),
+rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 20),
+rsh AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_filter(pa.sh, x -> list_contains(pb.sh, x))) * 1.0 /
+             len(list_distinct(list_concat(pa.sh, pb.sh))), 6) AS jaccard
+FROM cand
+JOIN arr pa ON pa.doc_id = cand.doc_a
+JOIN arr pb ON pb.doc_id = cand.doc_b
+WHERE round(len(list_filter(pa.sh, x -> list_contains(pb.sh, x))) * 1.0 /
+            len(list_distinct(list_concat(pa.sh, pb.sh))), 6) >= 0.4
+"""
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH blocking (rows-only)."""
+    from pie_spark.dedup.embedding import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return emb, q
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.ann.search import brute_force_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return brute_force_topk(emb, q, k=10)
+
+
+SQL_ANN_BRUTE_FORCE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS sim_raw
+  FROM c, q
+)
+SELECT q_id, vec_id, round(sim_raw, 6) AS sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim_raw DESC, vec_id ASC) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (bucketed candidates — rows-only)."""
+    from pie_spark.ann.search import lsh_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return lsh_topk(emb, q, k=10)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer probing — rows-only)."""
+    from pie_spark.ann.search import ivf_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return ivf_topk(emb, q, k=10)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary payload table → Arrow-batched feature
+    extraction (stubbed codec, real plumbing — rows-only)."""
+    from pie_spark.extract.spans import explode_spans, media_spans
+    from pie_spark.fixtures.gen import interleaved_docs
+    from pie_spark.media.features import extract_features, synth_media_table
+
+    docs = interleaved_docs(spark, sf_dir)
+    media = synth_media_table(media_spans(explode_spans(docs)))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "media_ref", "kind",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 5).alias("feat_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -368,4 +631,30 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "edges_selfjoin": (q_edges_selfjoin, SQL_EDGES_SELFJOIN),
     "triple_dedup": (q_triple_dedup, SQL_TRIPLE_DEDUP),
     "prf_score": (q_prf_score, SQL_PRF_SCORE),
+    # training-data pipeline ops
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "lang_id": (q_lang_id, _lang_id_sql()),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
+    "minhash_neardups": (q_minhash_neardups, None),
+    "simhash": (q_simhash, None),  # SQL mirror exists (simhash_sql) — wired below
+    "simhash_neardups": (q_simhash_neardups, None),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_neardups": (q_embedding_neardups, None),
+    "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE_FORCE),
+    "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "media_features": (q_media_features, None),
 }
+
+
+def _wire_simhash_sql() -> None:
+    from pie_spark.dedup.simhash import simhash_sql
+
+    fn, _ = QUERIES["simhash"]
+    QUERIES["simhash"] = (fn, simhash_sql())
+
+
+_wire_simhash_sql()

@@ -46,7 +46,15 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition signals + a composite
-    quality score in [0,1]. Formula mirrored exactly in the oracle SQL."""
+    quality score, all in integer parts-per-million.
+
+    ppm integers instead of rounded doubles is deliberate: float
+    ``round`` at engine boundaries is tie-broken differently (Java
+    BigDecimal HALF_UP vs binary-value rounding), so a score landing on
+    x.xxxxxx5 hash-mismatches the oracle. ``floor(1e6·a/b)`` on exact
+    integer inputs is bit-identical everywhere (IEEE division of exact
+    ints floors identically unless the quotient is an integer — in
+    which case it is exact)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(t, " ")
@@ -54,24 +62,27 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct = F.size(F.array_distinct(toks))
     punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
     stop_hits = sum(_word_hits(t, w) for w in LANG_STOPWORDS["en"])
-    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
-    ttr = F.round(n_distinct / F.greatest(n_tokens, F.lit(1)), 6)
-    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
-    score = F.round(
-        0.4 * len_score
-        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.3 * (1 - punct_ratio),
-        6,
-    )
+
+    def ppm(num, den):
+        return F.floor(num * F.lit(1000000) / F.greatest(den, F.lit(1))).cast("long")
+
+    punct_ppm = ppm(punct, n_chars)
+    stop_ppm = ppm(stop_hits, n_tokens)
+    ttr_ppm = ppm(n_distinct, n_tokens)
+    len_ppm = F.least(ppm(n_chars, F.lit(400)), F.lit(1000000))
+    quality_ppm = (
+        F.floor(len_ppm * 2 / 5)
+        + F.floor(F.least(stop_ppm * 5, F.lit(1000000)) * 3 / 10)
+        + F.floor((F.lit(1000000) - punct_ppm) * 3 / 10)
+    ).cast("long")
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
         n_tokens.cast("long").alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        ttr.alias("type_token_ratio"),
-        score.alias("quality_score"),
+        punct_ppm.alias("punct_ppm"),
+        stop_ppm.alias("stopword_ppm"),
+        ttr_ppm.alias("ttr_ppm"),
+        quality_ppm.alias("quality_ppm"),
     )
 
 
@@ -114,7 +125,10 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 3) -> D
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
     shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(shingle)])
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(shingle)]
+        ),
     )
     return docs.select(
         "doc_id",

@@ -1,0 +1,85 @@
+"""Dedup family on planted duplicates (exact / MinHash / SimHash /
+n-gram Jaccard / embedding-cosine)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the maple tree outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token edit
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE), (2, BASE),          # exact dup pair
+        (3, NEAR),                      # near dup of 1/2
+        (4, OTHER), (5, OTHER + " x"),  # near dup pair, far from BASE
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    from pie_spark.dedup.exact import dedup_map, duplicate_groups
+
+    groups = {r.content_md5: r for r in duplicate_groups(corpus).collect()}
+    dups = [g for g in groups.values() if g.n_docs > 1]
+    assert len(dups) == 1 and dups[0].rep_doc_id == 1 and dups[0].n_docs == 2
+    m = {r.doc_id: r for r in dedup_map(corpus).collect()}
+    assert m[2].is_dup and m[2].rep_doc_id == 1
+    assert not m[1].is_dup and not m[3].is_dup
+
+
+def test_minhash_near_duplicates(corpus):
+    from pie_spark.dedup.minhash import near_duplicates
+
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in near_duplicates(corpus, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dups: all slots agree
+    assert (1, 3) in pairs or (2, 3) in pairs          # near dup caught
+    assert all(not (a in (1, 2, 3) and b in (4, 5)) for a, b in pairs)
+
+
+def test_simhash_near_duplicates(corpus):
+    from pie_spark.dedup.simhash import near_duplicate_pairs, simhash_chunks
+
+    ch = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in simhash_chunks(corpus).collect()}
+    assert ch[1] == ch[2]  # identical docs → identical simhash
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in near_duplicate_pairs(corpus, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard(corpus):
+    from pie_spark.dedup.ngram import jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert (4, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    from pie_spark.dedup.embedding import cosine_near_duplicates
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.05
+    far = rng.standard_normal(64)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in far]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b): r.sim for r in cosine_near_duplicates(emb, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.95
+    assert (1, 3) not in pairs and (2, 3) not in pairs
