@@ -24,7 +24,7 @@ Scale design (10^12-doc design point, BASELINE.json:14):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,58 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "component")
+
+
+def union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find: node → component (= min node id, string
+    order). Semantically identical to :func:`connected_components`; the
+    unit tests assert equality on the same edge lists."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def adaptive_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    hot_nodes: list[str],
+    salt_k: int,
+    max_iters: int = 20,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Size-adaptive CC, the analogue of Spark's broadcast-vs-shuffle
+    join choice (SURVEY.md §4): the CC input here is the *dictionary*
+    graph — by spec small enough to broadcast to every worker
+    (BASELINE.json:6 "broadcast dictionary") — so when it fits under
+    ``driver_max_edges`` we run exact union-find driver-side in
+    milliseconds instead of scheduling a multi-job distributed loop.
+    Above the threshold (billion-key dictionaries at the 10^12-doc
+    design point) it falls back to the salted distributed loop. Both
+    paths produce identical (node, component=min-node) labels.
+
+    The ``limit(N+1)`` probe bounds the driver collect: an oversized
+    graph ships at most N+1 rows before falling back.
+    """
+    if driver_max_edges > 0:
+        probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            labels = union_find([(r["src"], r["dst"]) for r in probe])
+            return spark.createDataFrame(
+                sorted(labels.items()), "node string, component string"
+            )
+    from pie_spark.canon.salting import salt_edges, strip_salted_nodes
+
+    salted = salt_edges(edges, hot_nodes, salt_k)
+    return strip_salted_nodes(connected_components(salted, max_iters))

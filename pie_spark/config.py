@@ -27,10 +27,16 @@ class PipelineConfig:
     # --- feature flags -----------------------------------------------------
     enable_crf: bool = True    # BiLSTM-CRF-style tagger (SURVEY.md §2.4)
     enable_phone: bool = True  # PHONE matcher (inferred PII type, §2.3)
+    fuse_detectors: bool = True  # regex+gazetteer+CRF in ONE Arrow pass
     # --- mention types emitted as HAS_* triples ---------------------------
     pii_types: tuple[str, ...] = ("EMAIL", "SSN", "PHONE", "ADDRESS")
     # --- CC loop -----------------------------------------------------------
     cc_max_iters: int = 20
+    # dictionary graphs at/below this edge count run exact union-find on
+    # the driver (the CC analogue of a broadcast join — the dictionary is
+    # broadcast-small by spec); larger graphs use the salted distributed
+    # loop. 0 disables the fast path.
+    cc_driver_max_edges: int = 5_000_000
     # --- resume ------------------------------------------------------------
     checkpoint_dir: str = ""   # "" → no checkpointing
     resume: bool = False       # resume from checkpoint_dir if it has a snapshot

@@ -5,15 +5,20 @@ broadcast dictionary").
 J1 is an explicit ``F.broadcast`` hash join on the normalized surface
 key — the dictionary is the known-small side, so we never let the
 planner consider a shuffle join for it. Scoring (J2) is pure native
-column arithmetic (exact-match + token-set Jaccard + popularity prior);
-top-1 per mention via a window with a **total-order tiebreak**
-(score desc, entity_id asc) so linking is deterministic under any
-partitioning (SURVEY.md §5.4).
+column arithmetic (exact-match + token-set Jaccard + popularity prior).
+
+Top-1 per mention (W1) is a ``min_by`` **hash aggregation** keyed by
+the total-order struct (-score, entity_id) — not a row_number window:
+a window over mention_id (cardinality = every mention in the corpus)
+would shuffle-and-sort the whole mention set, while min_by gets
+map-side partial aggregation and never sorts. Deterministic under any
+partitioning (SURVEY.md §5.4): min of (-score asc, entity_id asc) ≡
+(score desc, entity_id asc).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pie_spark.extract.normalize import norm_key
@@ -52,11 +57,12 @@ def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
         W_EXACT * exact + W_JACCARD * jaccard + W_PRIOR * F.col("prior"),
     )
 
-    best = Window.partitionBy("mention_id").orderBy(
-        F.desc("link_score"), F.asc("entity_id")
+    out_cols = [c for c in scored.columns if c not in ("dict_surface", "prior")]
+    order_key = F.struct(
+        (-F.col("link_score")).alias("neg_score"), F.col("entity_id").alias("eid")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(best))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dict_surface", "prior")
+        scored.groupBy("mention_id")
+        .agg(F.min_by(F.struct(*out_cols), order_key).alias("best"))
+        .select("best.*")
     )

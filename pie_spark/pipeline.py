@@ -27,10 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from pie_spark.canon.canonical import key_canonical_map
-from pie_spark.canon.cc import connected_components
+from pie_spark.canon.cc import adaptive_components
 from pie_spark.canon.edges import build_edges
-from pie_spark.canon.salting import salt_edges, strip_salted_nodes
 from pie_spark.config import PipelineConfig
+from pie_spark.extract.fused import fused_matches
 from pie_spark.extract.gazetteer import gazetteer_matches
 from pie_spark.extract.matchers import regex_matches
 from pie_spark.extract.merge import merge_mentions
@@ -53,6 +53,7 @@ class PipelineResult:
 
     def unpersist(self) -> None:
         self.merged_mentions.unpersist()
+        self.linked.unpersist()
         self.triples.unpersist()
 
 
@@ -64,11 +65,16 @@ def extract_stage(
     resumed run unions checkpointed mentions with fresh ones and gets a
     byte-identical downstream (SURVEY.md §5.1 resume test)."""
     txt = text_spans(explode_spans(docs))
+    surfaces = [r.surface for r in dict_df.select("surface").distinct().collect()]
+    if cfg.fuse_detectors:
+        fused = fused_matches(
+            txt, spark, surfaces,
+            enable_phone=cfg.enable_phone, enable_crf=cfg.enable_crf,
+        )
+        return merge_mentions(fused)
     detectors = [
         regex_matches(txt, enable_phone=cfg.enable_phone),
-        gazetteer_matches(
-            txt, spark, [r.surface for r in dict_df.select("surface").distinct().collect()]
-        ),
+        gazetteer_matches(txt, spark, surfaces),
     ]
     if cfg.enable_crf:
         detectors.append(crf_matches(txt))
@@ -92,9 +98,14 @@ def downstream_stage(
     freqs = surface_frequencies(merged)
     hot = hot_keys(freqs, cfg.hot_k)
 
-    edges = build_edges(dict_df)
-    edges = salt_edges(edges, ["k:" + h for h in hot], cfg.salt_k)
-    labels = strip_salted_nodes(connected_components(edges, cfg.cc_max_iters))
+    labels = adaptive_components(
+        spark,
+        build_edges(dict_df),
+        ["k:" + h for h in hot],
+        cfg.salt_k,
+        cfg.cc_max_iters,
+        cfg.cc_driver_max_edges,
+    )
     key_map = key_canonical_map(labels)
 
     linked_canon = _with_canon(linked, key_map).persist(StorageLevel.MEMORY_AND_DISK)

@@ -77,3 +77,26 @@ def test_cc_salted_equals_unsalted(spark):
         connected_components(salt_edges(edges, ["hub"], salt_k=4))
     )
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_adaptive_cc_driver_path_matches_distributed(spark):
+    """adaptive_components fast path (union_find) ≡ distributed loop."""
+    from pie_spark.canon.cc import adaptive_components, union_find
+
+    edges = build_edges(entity_dict_df(spark))
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    want = _unionfind(pairs)
+    assert union_find(pairs) == want
+    driver = adaptive_components(spark, edges, [], 1, driver_max_edges=10**6)
+    assert {r["node"]: r["component"] for r in driver.collect()} == want
+    dist = adaptive_components(spark, edges, [], 1, driver_max_edges=0)
+    assert {r["node"]: r["component"] for r in dist.collect()} == want
+
+
+def test_adaptive_cc_falls_back_when_oversized(spark):
+    from pie_spark.canon.cc import adaptive_components
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    labels = adaptive_components(spark, edges, [], 1, driver_max_edges=2)
+    _assert_matches_unionfind(spark, pairs, labels)
