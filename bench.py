@@ -10,8 +10,19 @@ local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
 
 Protocol: corpus synthesized once to a temp parquet (bench measures the
 engine, not the generator); one warmup run discarded; N_RUNS measured
-pipeline runs, median reported. Set PIE_BENCH_SCALING=1 to also measure
-local[8] vs local[32] scaling efficiency (slower; used for BENCH/).
+pipeline runs, median reported.
+
+The corpus is the sf dir's documents table replicated deterministically
+PIE_BENCH_MULT times (default 20 → 100k docs at sf0.1): each replica
+gets a distinct doc_id and therefore a distinct generated document, so
+the input is compute-bound rather than dominated by fixed per-stage
+scheduling cost — the regime the 10^12-doc design point lives in.
+
+Set PIE_BENCH_SCALING=1 to also measure N-vs-4N-core scaling efficiency
+(default 4 vs 16 cores; see BENCH/BASELINE.md for why not 8 vs 32: this
+box's 32 vCPUs are SMT/bandwidth-limited — a pure-Python probe tops out
+at 2.9x from 8→32, so 8→32 cannot evidence software scaling). Slower;
+used to fill BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ import tempfile
 import time
 
 N_RUNS = 3
+SCALING_CORES = (4, 16)
 
 
 def _mk_session(cores: int, app: str):
@@ -34,10 +46,10 @@ def _mk_session(cores: int, app: str):
     )
 
 
-def _materialize_corpus(spark, sf_dir: str, out_dir: str) -> int:
+def _materialize_corpus(spark, sf_dir: str, out_dir: str, mult: int = 1) -> int:
     from pie_spark.fixtures.gen import interleaved_docs
 
-    docs = interleaved_docs(spark, sf_dir)
+    docs = interleaved_docs(spark, sf_dir, mult=mult, parts=128 if mult > 1 else 0)
     docs.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
 
@@ -72,8 +84,8 @@ def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = N_RUNS):
         walls = [_run_pipeline(spark, docs_path)[0] for _ in range(n_runs)]
         walls.sort()
         med = walls[len(walls) // 2]
-        return {"wall_sec": med, "all_runs": walls, "docs": n_docs,
-                "docs_per_sec": n_docs / med}
+        return {"wall_sec": med, "all_runs": [round(w, 2) for w in walls],
+                "docs": n_docs, "docs_per_sec": n_docs / med}
     finally:
         spark.stop()
 
@@ -81,13 +93,14 @@ def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = N_RUNS):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("PIE_BENCH_MULT", "20"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     tmp = tempfile.mkdtemp(prefix="pie_bench_")
     docs_path = os.path.join(tmp, "interleaved_docs.parquet")
     try:
         spark = _mk_session(cores, "pie-bench-main")
-        n_docs = _materialize_corpus(spark, sf_dir, docs_path)
+        n_docs = _materialize_corpus(spark, sf_dir, docs_path, mult=mult)
 
         # headline operator queries (one timed run each, after a tiny warmup)
         from pie_spark.queries import QUERIES
@@ -116,19 +129,23 @@ def main() -> None:
             "queries": qtimes,
             "sf": float(sf),
             "docs": n_docs,
+            "corpus_mult": mult,
             "docs_per_sec": round(n_docs / med, 1),
             "cores": cores,
             "runs": [round(w, 3) for w in walls],
         }
 
         if os.environ.get("PIE_BENCH_SCALING") == "1":
-            lo = bench_at(8, sf_dir, docs_path)
-            hi = bench_at(32, sf_dir, docs_path)
+            n, n4 = SCALING_CORES
+            lo = bench_at(n, sf_dir, docs_path)
+            hi = bench_at(n4, sf_dir, docs_path)
             eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
             out["scaling"] = {
-                "docs_per_sec_8": round(lo["docs_per_sec"], 1),
-                "docs_per_sec_32": round(hi["docs_per_sec"], 1),
-                "efficiency_8_to_32": round(eff, 3),
+                f"docs_per_sec_{n}": round(lo["docs_per_sec"], 1),
+                f"docs_per_sec_{n4}": round(hi["docs_per_sec"], 1),
+                f"efficiency_{n}_to_{n4}": round(eff, 3),
+                "runs_lo": lo["all_runs"],
+                "runs_hi": hi["all_runs"],
             }
 
         print(json.dumps(out))

@@ -24,6 +24,8 @@ Scale design (10^12-doc design point, BASELINE.json:14):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,7 +94,7 @@ def union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
 def adaptive_components(
     spark: SparkSession,
     edges: DataFrame,
-    hot_nodes: list[str],
+    hot_nodes: list[str] | Callable[[], list[str]],
     salt_k: int,
     max_iters: int = 20,
     driver_max_edges: int = 5_000_000,
@@ -109,6 +111,10 @@ def adaptive_components(
 
     The ``limit(N+1)`` probe bounds the driver collect: an oversized
     graph ships at most N+1 rows before falling back.
+
+    ``hot_nodes`` may be a thunk: hot-key detection costs a Spark job
+    over the mention set, and salting only matters on the distributed
+    path, so callers defer it and the fast path never pays for it.
     """
     if driver_max_edges > 0:
         probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
@@ -119,5 +125,6 @@ def adaptive_components(
             )
     from pie_spark.canon.salting import salt_edges, strip_salted_nodes
 
-    salted = salt_edges(edges, hot_nodes, salt_k)
+    hot = hot_nodes() if callable(hot_nodes) else hot_nodes
+    salted = salt_edges(edges, hot, salt_k)
     return strip_salted_nodes(connected_components(salted, max_iters))

@@ -260,12 +260,31 @@ def gen_doc(doc_id: str, text: str) -> DocGen:
 # ---------------------------------------------------------------------------
 
 
-def _docs_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+def _docs_reader(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+    """Base (doc_id, text) rows; ``mult`` > 1 replicates the base table
+    deterministically with suffixed doc_ids ("<id>#<rep>"). Because the
+    generator RNG is keyed per doc_id, every replica synthesizes a
+    *different* document — so mult scales the corpus without changing
+    its statistics, which is how the bench builds a compute-bound input
+    for the two-parallelism scaling run (BASELINE.md §6)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if mult > 1:
+        import pyspark.sql.functions as F
+
+        reps = spark.range(mult).select(F.col("id").cast("string").alias("rep"))
+        df = df.crossJoin(reps).select(
+            F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "text"
+        )
+    return df
 
 
-def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The binding input table, synthesized distributed (no collect)."""
+def interleaved_docs(
+    spark: SparkSession, sf_dir: str, mult: int = 1, parts: int = 0
+) -> DataFrame:
+    """The binding input table, synthesized distributed (no collect).
+    ``parts`` > 0 repartitions the base rows before generation so the
+    (CPU-bound, per-doc) synthesis parallelizes regardless of source
+    file layout; output is partitioning-independent by construction."""
 
     def gen(batches):
         for pdf in batches:
@@ -274,7 +293,10 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": [r.doc_id for r in rows], "spans": [r.spans for r in rows]}
             )
 
-    return _docs_reader(spark, sf_dir).mapInPandas(gen, schema=DOC_SCHEMA)
+    base = _docs_reader(spark, sf_dir, mult)
+    if parts > 0:
+        base = base.repartition(parts)
+    return base.mapInPandas(gen, schema=DOC_SCHEMA)
 
 
 def golden_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

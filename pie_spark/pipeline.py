@@ -95,13 +95,19 @@ def downstream_stage(
     med = media_spans(spans)
     linked = link_mentions(merged, dict_df)
 
-    freqs = surface_frequencies(merged)
-    hot = hot_keys(freqs, cfg.hot_k)
+    # Hot-key detection (A4) feeds CC salting — deferred into a thunk so
+    # the driver-union-find fast path (dictionary-scale graphs) never
+    # pays the extra job over the mention set.
+    hot: list[str] = []
+
+    def _hot_nodes() -> list[str]:
+        hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
+        return ["k:" + h for h in hot]
 
     labels = adaptive_components(
         spark,
         build_edges(dict_df),
-        ["k:" + h for h in hot],
+        _hot_nodes,
         cfg.salt_k,
         cfg.cc_max_iters,
         cfg.cc_driver_max_edges,

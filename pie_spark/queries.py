@@ -320,6 +320,66 @@ FROM orders
 """
 
 
+def q_anti_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: resume delta via left_anti — exactly the checkpoint-resume
+    shape: all work items minus the 'done' set from the last snapshot
+    (here: done = orderkeys ≡ 0 mod 3)."""
+    o = _t(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return o.join(done, "o_orderkey", "left_anti").select("o_orderkey", "o_custkey")
+
+
+SQL_ANTI_JOIN_DELTA = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_orderkey = orders.o_orderkey AND d.o_orderkey % 3 = 0
+)
+"""
+
+
+def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: explicit hot-key salted equi-join. The oracle is the PLAIN
+    join — the driver's value-hash match proves salting is
+    result-preserving."""
+    from pie_spark.canon.salting import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    # hottest suppliers by lineitem count — deterministic top-5
+    hot = [
+        r["l_suppkey"]
+        for r in li.groupBy("l_suppkey").count()
+        .orderBy(F.desc("count"), F.asc("l_suppkey")).limit(5).collect()
+    ]
+    fact = li.withColumnRenamed("l_suppkey", "suppkey")
+    dim = s.withColumnRenamed("s_suppkey", "suppkey")
+    joined = salted_join(
+        fact, dim, key="suppkey", spread_col="l_orderkey",
+        hot=hot, salt_k=8, how="inner",
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_SALTED_HOT_JOIN = """
+SELECT s_nationkey, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: HLL approximate distinct (rows-only — estimator-specific)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )
+
+
 def q_prf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: precision/recall of one derived set vs another, join-based."""
     o = _t(spark, sf_dir, "orders")
@@ -630,6 +690,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nearest_prev_pair": (q_nearest_prev_pair, SQL_NEAREST_PREV_PAIR),
     "edges_selfjoin": (q_edges_selfjoin, SQL_EDGES_SELFJOIN),
     "triple_dedup": (q_triple_dedup, SQL_TRIPLE_DEDUP),
+    "anti_join_delta": (q_anti_join_delta, SQL_ANTI_JOIN_DELTA),
+    "salted_hot_join": (q_salted_hot_join, SQL_SALTED_HOT_JOIN),
+    "approx_distinct": (q_approx_distinct, None),
     "prf_score": (q_prf_score, SQL_PRF_SCORE),
     # training-data pipeline ops
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
