@@ -97,8 +97,12 @@ def fused_matches(
         "doc_id",
         "span_idx",
         F.col("offset").alias("span_offset"),
-        F.explode("ms").alias("m"),
-    ).select(
+        # explode_outer + null filter instead of plain explode:
+        # Catalyst infers a size(ms)>0 filter below a non-outer
+        # Generate and pushes it under the projection, which would
+        # evaluate the (expensive) Python UDF TWICE per span.
+        F.explode_outer("ms").alias("m"),
+    ).filter(F.col("m").isNotNull()).select(
         "doc_id",
         "span_idx",
         "span_offset",

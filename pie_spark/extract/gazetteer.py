@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections import deque
 from collections.abc import Iterator
@@ -42,6 +43,15 @@ class AhoCorasick:
         for p in patterns:
             self._insert(p)
         self._build_failures()
+        # C-speed prefilter: any hit must contain one of the patterns'
+        # first characters, so a text without any of them can skip the
+        # (pure-Python) automaton walk entirely — exact, not heuristic.
+        firsts = sorted(self.goto[0].keys())
+        self.prefilter = (
+            re.compile("[" + "".join(re.escape(c) for c in firsts) + "]")
+            if firsts
+            else None
+        )
 
     def _insert(self, p: str) -> None:
         node = 0
@@ -93,6 +103,8 @@ def _boundary_ok(text: str, s: int, e: int) -> bool:
 
 
 def find_gazetteer_matches(text: str, ac: AhoCorasick) -> list[dict]:
+    if ac.prefilter is None or ac.prefilter.search(text) is None:
+        return []
     out = []
     for s, e, p in ac.finditer(text):
         if _boundary_ok(text, s, e):
@@ -138,8 +150,12 @@ def gazetteer_matches(
         "doc_id",
         "span_idx",
         F.col("offset").alias("span_offset"),
-        F.explode("ms").alias("m"),
-    ).select(
+        # explode_outer + null filter instead of plain explode:
+        # Catalyst infers a size(ms)>0 filter below a non-outer
+        # Generate and pushes it under the projection, which would
+        # evaluate the (expensive) Python UDF TWICE per span.
+        F.explode_outer("ms").alias("m"),
+    ).filter(F.col("m").isNotNull()).select(
         "doc_id",
         "span_idx",
         "span_offset",

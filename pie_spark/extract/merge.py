@@ -14,9 +14,9 @@ Priority: regex-typed (EMAIL/SSN/PHONE/ADDRESS) > gazetteer > CRF —
 typed patterns are higher-precision than dictionary hits, which beat
 the sequence tagger.
 
-Scale: two window passes over data already hash-partitioned by
-doc_id — Catalyst plans a single shuffle on (doc_id, span_idx) reused
-by both windows; no Python.
+Scale: two window passes sharing ONE shuffle on doc_id (same
+partitioning + sort for both windows); no Python. Downstream consumers
+keyed on supersets of doc_id reuse the same exchange.
 """
 
 from __future__ import annotations
@@ -37,24 +37,39 @@ def _priority():
 
 def merge_mentions(*mention_dfs: DataFrame) -> DataFrame:
     """Union detector outputs and resolve overlaps; returns
-    MENTION_SCHEMA plus a stable ``mention_id``."""
+    MENTION_SCHEMA plus a stable ``mention_id``.
+
+    Windows partition by ``doc_id`` alone and order by synthetic doc-wide
+    coordinates ``span_idx·2^32 + start/end``: within a span this is the
+    span-local order (constant shift), and across spans coordinate
+    ranges are disjoint by construction (start/end are int32), so
+    overlap groups are EXACTLY the per-(doc_id, span_idx) groups for any
+    input. Partitioning by doc_id — not (doc_id, span_idx) — means the
+    ONE shuffle here is reused by everything downstream keyed on a
+    superset of doc_id: linking's min_by aggregation and the mention
+    branches all ride it exchange-free (asserted by
+    tests/test_plans.py)."""
     unioned = reduce(lambda a, b: a.unionByName(b), mention_dfs)
 
-    order = Window.partitionBy("doc_id", "span_idx").orderBy(
-        "start", F.desc("end"), "detector", "mention_type"
+    span_base = F.col("span_idx").cast("long") * F.lit(1 << 32)
+    gstart = span_base + F.col("start")
+    gend = span_base + F.col("end")
+    order = Window.partitionBy("doc_id").orderBy(
+        gstart.asc(), gend.desc(), F.col("detector").asc(), F.col("mention_type").asc()
     )
-    prev_max_end = F.max("end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    prev_max_end = F.max(gend).over(order.rowsBetween(Window.unboundedPreceding, -1))
     grouped = unioned.withColumn(
-        "new_group", F.when(prev_max_end.isNull() | (F.col("start") >= prev_max_end), 1).otherwise(0)
+        "new_group",
+        F.when(prev_max_end.isNull() | (gstart >= prev_max_end), 1).otherwise(0),
     ).withColumn(
         "overlap_group",
         F.sum("new_group").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
-    rank = Window.partitionBy("doc_id", "span_idx", "overlap_group").orderBy(
+    rank = Window.partitionBy("doc_id", "overlap_group").orderBy(
         _priority().asc(),
         (F.col("end") - F.col("start")).desc(),
-        F.col("start").asc(),
+        gstart.asc(),
         F.col("surface").asc(),
         F.col("detector").asc(),
     )

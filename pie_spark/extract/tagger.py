@@ -107,6 +107,9 @@ def _start_weights() -> np.ndarray:
 W_EMIT = _emission_weights()
 W_TRANS = _transition_weights()
 W_START = _start_weights()
+# plain-list copies for the pure-Python Viterbi inner loop
+W_TRANS_LST: list[list[float]] = W_TRANS.tolist()
+W_START_L: list[float] = W_START.tolist()
 
 
 def tokenize(text: str) -> list[tuple[int, int, str]]:
@@ -114,50 +117,118 @@ def tokenize(text: str) -> list[tuple[int, int, str]]:
     return [(m.start(), m.end(), m.group(0)) for m in _TOKEN_RE.finditer(text)]
 
 
+_INITDOT_RE = re.compile(r"[A-Z]\.")
+
+# token → feature-row cache. Features are a pure function of the token
+# string and the rows are exact 0/1 indicators, so caching is
+# bit-identical; natural-language vocabularies repeat heavily, so this
+# skips the string predicates for the vast majority of tokens.
+_FEAT_CACHE: dict[str, tuple[float, ...]] = {}
+
+
+def _feat_row(t: str) -> tuple[float, ...]:
+    cached = _FEAT_CACHE.get(t)
+    if cached is not None:
+        return cached
+    row = [0.0] * len(FEATS)
+    row[BIAS] = 1.0
+    low = t.lower().rstrip(".,;:")
+    if t[0].isupper():
+        if len(t) > 1 and t.isupper():
+            row[ALLCAPS] = 1.0
+        else:
+            row[CAP] = 1.0
+    elif t[0].islower():
+        row[LOWER] = 1.0
+    if _INITDOT_RE.fullmatch(t):
+        row[INITDOT] = 1.0
+        row[CAP] = 0.0
+    if t.isdigit():
+        row[DIGIT_SHORT if len(t) <= 5 else DIGIT_LONG] = 1.0
+    if any(c.isdigit() for c in t):
+        row[HASDIGIT] = 1.0
+    if low in _FIRST:
+        row[FIRSTLEX] = 1.0
+    if low in _LAST:
+        row[LASTLEX] = 1.0
+    if low in _STREET:
+        row[STREETLEX] = 1.0
+    if low in _SUFFIXES:
+        row[SUFFIX] = 1.0
+    out = tuple(row)
+    if len(_FEAT_CACHE) < 1_000_000:  # bound worker memory on huge vocab
+        _FEAT_CACHE[t] = out
+    return out
+
+
 def features(tokens: list[str]) -> np.ndarray:
-    """Per-token feature matrix (n_tokens × n_feats), vectorizable."""
-    X = np.zeros((len(tokens), len(FEATS)))
-    X[:, BIAS] = 1.0
-    for i, t in enumerate(tokens):
-        low = t.lower().rstrip(".,;:")
-        if t[0].isupper():
-            if len(t) > 1 and t.isupper():
-                X[i, ALLCAPS] = 1.0
-            else:
-                X[i, CAP] = 1.0
-        elif t[0].islower():
-            X[i, LOWER] = 1.0
-        if re.fullmatch(r"[A-Z]\.", t):
-            X[i, INITDOT] = 1.0
-            X[i, CAP] = 0.0
-        if t.isdigit():
-            X[i, DIGIT_SHORT if len(t) <= 5 else DIGIT_LONG] = 1.0
-        if any(c.isdigit() for c in t):
-            X[i, HASDIGIT] = 1.0
-        if low in _FIRST:
-            X[i, FIRSTLEX] = 1.0
-        if low in _LAST:
-            X[i, LASTLEX] = 1.0
-        if low in _STREET:
-            X[i, STREETLEX] = 1.0
-        if low in _SUFFIXES:
-            X[i, SUFFIX] = 1.0
-    return X
+    """Per-token feature matrix (n_tokens × n_feats), exact indicators."""
+    return np.array([_feat_row(t) for t in tokens], dtype=np.float64)
 
 
 def viterbi(emissions: np.ndarray) -> list[int]:
-    """Exact max-sum decoding; deterministic argmax (ties → lower tag id)."""
-    n, k = emissions.shape
-    delta = W_START + emissions[0]
-    back = np.zeros((n, k), dtype=np.int64)
+    """Exact max-sum decoding; deterministic argmax (ties → lower tag id).
+
+    Pure-Python DP: the lattice is only k=5 states wide, so per-token
+    numpy argmax calls cost more than the arithmetic. Summation order
+    matches the vectorized formulation (delta[i] + trans[i][j]) +
+    emis[j] term-for-term and ties resolve to the lowest prior state
+    (strict >), so the decode is bit-identical to the numpy reference
+    (asserted by tests/test_tagger.py)."""
+    em = emissions.tolist()
+    n = len(em)
+    k = len(em[0])
+    start = W_START_L
+    trans = W_TRANS_LST
+    delta = [start[j] + em[0][j] for j in range(k)]
+    backs: list[list[int]] = []
     for t in range(1, n):
-        scores = delta[:, None] + W_TRANS + emissions[t][None, :]
-        back[t] = np.argmax(scores, axis=0)
-        delta = scores[back[t], np.arange(k)]
-    path = [int(np.argmax(delta))]
-    for t in range(n - 1, 0, -1):
-        path.append(int(back[t, path[-1]]))
+        emt = em[t]
+        new_delta = [0.0] * k
+        bt = [0] * k
+        for j in range(k):
+            ej = emt[j]
+            best = (delta[0] + trans[0][j]) + ej
+            bi = 0
+            for i in range(1, k):
+                s = (delta[i] + trans[i][j]) + ej
+                if s > best:
+                    best = s
+                    bi = i
+            new_delta[j] = best
+            bt[j] = bi
+        delta = new_delta
+        backs.append(bt)
+    last = 0
+    best = delta[0]
+    for j in range(1, k):
+        if delta[j] > best:
+            best = delta[j]
+            last = j
+    path = [last]
+    for t in range(n - 2, -1, -1):
+        path.append(backs[t][path[-1]])
     return path[::-1]
+
+
+# --- provably-safe all-O skip ------------------------------------------
+# If every token's O-emission exceeds its best non-O emission by more
+# than MARGIN_SAFE, the all-O path strictly dominates every alternative:
+# a non-O token costs > MARGIN_SAFE in emissions and can gain at most
+# 2·(maxT − T[O][O]) from its two adjacent transitions (start weights
+# never favor non-O). Then the decode has no B-tags → no mentions → the
+# Viterbi DP can be skipped exactly. Margins are cached per feature row.
+MARGIN_SAFE = 2.0 * (float(W_TRANS[W_TRANS > -100].max()) - W_TRANS_LST[O][O])
+_MARGIN_CACHE: dict[tuple[float, ...], float] = {}
+
+
+def _o_margin(row: tuple[float, ...]) -> float:
+    m = _MARGIN_CACHE.get(row)
+    if m is None:
+        em = [sum(w * x for w, x in zip(wrow, row)) for wrow in W_EMIT.tolist()]
+        m = em[O] - max(em[1:])
+        _MARGIN_CACHE[row] = m
+    return m
 
 
 def tag_text(text: str) -> list[dict]:
@@ -165,7 +236,10 @@ def tag_text(text: str) -> list[dict]:
     toks = tokenize(text)
     if not toks:
         return []
-    X = features([t[2] for t in toks])
+    rows = [_feat_row(t[2]) for t in toks]
+    if all(_o_margin(r) > MARGIN_SAFE + 1e-9 for r in rows):
+        return []
+    X = np.array(rows, dtype=np.float64)
     emissions = X @ W_EMIT.T
     path = viterbi(emissions)
     out: list[dict] = []
@@ -208,8 +282,12 @@ def crf_matches(text_spans: DataFrame) -> DataFrame:
         "doc_id",
         "span_idx",
         F.col("offset").alias("span_offset"),
-        F.explode("ms").alias("m"),
-    ).select(
+        # explode_outer + null filter instead of plain explode:
+        # Catalyst infers a size(ms)>0 filter below a non-outer
+        # Generate and pushes it under the projection, which would
+        # evaluate the (expensive) Python UDF TWICE per span.
+        F.explode_outer("ms").alias("m"),
+    ).filter(F.col("m").isNotNull()).select(
         "doc_id",
         "span_idx",
         "span_offset",

@@ -67,19 +67,19 @@ def _with_canon(
 
 
 def mention_triples(linked_canon: DataFrame) -> DataFrame:
-    """(doc, MENTIONS, canonical_entity), confidence = best link score."""
-    return (
-        linked_canon.groupBy("doc_id", "canon_entity_id")
-        .agg(F.max("link_score").alias("confidence"))
-        .select(
-            F.col("doc_id").alias("subj"),
-            F.lit("MENTIONS").alias("pred"),
-            F.col("canon_entity_id").alias("obj"),
-            F.lit("DOC").alias("subj_type"),
-            F.lit("PERSON").alias("obj_type"),
-            "doc_id",
-            "confidence",
-        )
+    """(doc, MENTIONS, canonical_entity), confidence = best link score.
+
+    Emitted per-mention WITHOUT its own groupBy: A5's final dedup
+    aggregates max(confidence) over (subj, pred, obj, doc_id), which
+    subsumes the per-(doc, entity) max — one corpus shuffle saved."""
+    return linked_canon.select(
+        F.col("doc_id").alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("canon_entity_id").alias("obj"),
+        F.lit("DOC").alias("subj_type"),
+        F.lit("PERSON").alias("obj_type"),
+        "doc_id",
+        F.col("link_score").alias("confidence"),
     )
 
 

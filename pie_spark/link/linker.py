@@ -61,8 +61,12 @@ def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
     order_key = F.struct(
         (-F.col("link_score")).alias("neg_score"), F.col("entity_id").alias("eid")
     )
+    # group key: (doc_id, span_idx, mention_id) ≡ mention_id (the id is a
+    # hash of doc_id/span_idx/offsets), but the superset key lets Spark
+    # satisfy the clustering from the upstream hash(doc_id) partitioning
+    # (merge's shuffle) — the whole linking stage runs exchange-free.
     return (
-        scored.groupBy("mention_id")
+        scored.groupBy("doc_id", "span_idx", "mention_id")
         .agg(F.min_by(F.struct(*out_cols), order_key).alias("best"))
         .select("best.*")
     )

@@ -36,6 +36,15 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("PIE_DRIVER_MEM", "8g"))
+        # shuffle files / spills / local checkpoints on the fastest local
+        # storage available (tmpfs in this sandbox — the single-node
+        # stand-in for the NVMe shuffle volumes a real cluster would
+        # mount); shuffle I/O otherwise serializes on one spinning device
+        # and caps multi-core scaling.
+        .config(
+            "spark.local.dir",
+            os.environ.get("PIE_LOCAL_DIR", "/dev/shm/pie-spark-local"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -1,0 +1,118 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the scale properties
+are verified in the plan itself, not just claimed —
+
+* filter pushdown + column pruning reach the parquet scan feeding the
+  Python stage (media payloads never cross into Arrow),
+* the dictionary join is a broadcast hash join (no corpus shuffle),
+* the merge windows share ONE shuffle (same partitioning, two passes),
+* linking's top-1 is a hash aggregation with a map-side partial, not a
+  global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pie_spark.extract.merge import merge_mentions
+from pie_spark.extract.spans import explode_spans, text_spans
+from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+from pie_spark.link.linker import link_mentions
+from pie_spark.schemas import DOC_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    interleaved_docs(spark, SF).write.parquet(p)
+    return p
+
+
+def test_text_span_scan_prunes_and_pushes_down(spark, docs_parquet):
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs)).select("doc_id", "span_idx", "text")
+    plan = _explain(txt)
+    # parquet scan must read only the two top-level columns
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "spans" in read_schema
+    # the kind='text' filter runs before anything expensive (generate is
+    # the explode; the filter must sit directly above it, not above a
+    # shuffle or UDF)
+    assert "Filter" in plan
+    assert "ArrowEvalPython" not in plan  # no Python below this projection
+
+
+def test_dictionary_join_is_broadcast(spark, docs_parquet):
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs))
+    from pie_spark.extract.fused import fused_matches
+
+    surfaces = [r.surface for r in entity_dict_df(spark).select("surface").collect()]
+    merged = merge_mentions(fused_matches(txt, spark, surfaces))
+    linked = link_mentions(merged, entity_dict_df(spark))
+    plan = _explain(linked)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_windows_share_one_shuffle(spark, docs_parquet):
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs))
+    from pie_spark.extract.fused import fused_matches
+
+    surfaces = [r.surface for r in entity_dict_df(spark).select("surface").collect()]
+    merged = merge_mentions(fused_matches(txt, spark, surfaces))
+    plan = _explain(merged, "simple")
+    # two window passes (overlap grouping + winner ranking) over the
+    # same (doc_id, span_idx) partitioning → exactly one Exchange
+    assert plan.count("Exchange") == 1
+    # and exactly one Python stage (the fused detector)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_linking_top1_is_hash_agg_not_sort(spark, docs_parquet):
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs))
+    from pie_spark.extract.fused import fused_matches
+
+    surfaces = [r.surface for r in entity_dict_df(spark).select("surface").collect()]
+    merged = merge_mentions(fused_matches(txt, spark, surfaces))
+    linked = link_mentions(merged, entity_dict_df(spark))
+    plan = _explain(linked, "simple")
+    # min_by top-1: map-side partial + final aggregation…
+    assert "partial_min_by" in plan
+    # …riding merge's hash(doc_id) partitioning: the ONLY exchange in the
+    # whole extract→merge→link plan is merge's (plus the dict broadcast)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # and no ranking window above the broadcast join
+    assert "Window" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_fused_stage_single_python_pass_whole_pipeline(spark, docs_parquet):
+    """End-to-end triples plan: exactly one ArrowEvalPython (the fused
+    detector) — the only place the pipeline leaves the JVM."""
+    from pie_spark.config import PipelineConfig
+    from pie_spark.pipeline import run
+
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    res = run(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    res.merged_mentions.count()  # materialize the cache
+    plan = _explain(res.triples, "simple")
+    # the mention set is cached, so every textual ArrowEvalPython in the
+    # plan sits inside an InMemoryTableScan subtree (explain prints the
+    # cached child plan once per consumer) — the UDF executes once.
+    assert "InMemoryTableScan" in plan
+    assert plan.count("ArrowEvalPython") <= plan.count("InMemoryTableScan")
+    res.unpersist()

@@ -55,3 +55,91 @@ def test_single_token_runs_dropped():
 def test_deterministic():
     t = "meet Carla Rasmussen at 44 Sycamore Blvd or call Benjamin Eriksen"
     assert tag_text(t) == tag_text(t)
+
+
+def test_viterbi_bit_identical_to_numpy_reference():
+    """The pure-Python DP must reproduce the vectorized numpy decode
+    exactly (same sums, same first-max tie policy) on random lattices."""
+    import numpy as np
+
+    from pie_spark.extract.tagger import W_START, W_TRANS, viterbi
+
+    def viterbi_ref(emissions):
+        n, k = emissions.shape
+        delta = W_START + emissions[0]
+        back = np.zeros((n, k), dtype=np.int64)
+        for t in range(1, n):
+            scores = delta[:, None] + W_TRANS + emissions[t][None, :]
+            back[t] = np.argmax(scores, axis=0)
+            delta = scores[back[t], np.arange(k)]
+        path = [int(np.argmax(delta))]
+        for t in range(n - 1, 0, -1):
+            path.append(int(back[t, path[-1]]))
+        return path[::-1]
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(1, 40))
+        em = rng.normal(size=(n, 5))
+        # quantize to provoke exact ties
+        em = np.round(em, 1)
+        assert viterbi(em) == viterbi_ref(em)
+
+
+def test_feature_cache_exact():
+    from pie_spark.extract.tagger import _feat_row, features
+
+    toks = ["Mei", "A.", "12345", "123456789", "street", "Ave", "x9y"]
+    X = features(toks)
+    for i, t in enumerate(toks):
+        assert tuple(X[i]) == _feat_row(t)
+    assert features(toks).tolist() == features(list(toks)).tolist()
+
+
+def test_all_o_skip_is_exact_on_corpus():
+    """The margin-based Viterbi skip must never change the decode:
+    compare tag_text against the full no-skip decode on every span of
+    the sf0.001 fixture corpus."""
+    import duckdb
+    import numpy as np
+
+    from pie_spark.extract import tagger as tg
+    from pie_spark.fixtures.gen import gen_doc
+
+    def tag_text_noskip(text):
+        toks = tg.tokenize(text)
+        if not toks:
+            return []
+        X = tg.features([t[2] for t in toks])
+        emissions = X @ tg.W_EMIT.T
+        path = tg.viterbi(emissions)
+        out = []
+        i = 0
+        while i < len(path):
+            if path[i] in (tg.BPER, tg.BADDR):
+                inner = tg.IPER if path[i] == tg.BPER else tg.IADDR
+                mtype = "PERSON" if path[i] == tg.BPER else "ADDRESS"
+                j = i + 1
+                while j < len(path) and path[j] == inner:
+                    j += 1
+                if j - i >= 2:
+                    out.append((toks[i][0], toks[j - 1][1], mtype))
+                i = j
+            else:
+                i += 1
+        return out
+
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    n_spans = n_skipped = 0
+    for d, t in rows:
+        for s in gen_doc(str(d), t).spans:
+            if s["kind"] != "text":
+                continue
+            n_spans += 1
+            got = [(m["start"], m["end"], m["mention_type"]) for m in tg.tag_text(s["text"])]
+            assert got == tag_text_noskip(s["text"])
+            if not got:
+                n_skipped += 1
+    assert n_spans > 500
