@@ -100,3 +100,31 @@ def test_adaptive_cc_falls_back_when_oversized(spark):
     edges = spark.createDataFrame(pairs, ["src", "dst"])
     labels = adaptive_components(spark, edges, [], 1, driver_max_edges=2)
     _assert_matches_unionfind(spark, pairs, labels)
+
+
+def test_cc_random_graphs_match_unionfind(spark):
+    """Property: distributed CC ≡ union-find on random graphs (sparse,
+    dense, with self-loops and isolated chains), salted and unsalted."""
+    import numpy as np
+
+    from pie_spark.canon.cc import connected_components
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n_nodes = 120
+        n_edges = int(rng.integers(30, 260))
+        pairs = [
+            (f"n{int(rng.integers(0, n_nodes)):03d}", f"n{int(rng.integers(0, n_nodes)):03d}")
+            for _ in range(n_edges)
+        ]
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        _assert_matches_unionfind(spark, pairs, connected_components(edges))
+        # salt the 3 highest-degree nodes; labels must be unchanged
+        from collections import Counter
+
+        deg = Counter([a for a, _ in pairs] + [b for _, b in pairs])
+        hot = [n for n, _ in deg.most_common(3)]
+        salted = strip_salted_nodes(
+            connected_components(salt_edges(edges, hot, salt_k=4))
+        )
+        _assert_matches_unionfind(spark, pairs, salted)
