@@ -13,7 +13,7 @@ engine, not the generator); one warmup run discarded; N_RUNS measured
 pipeline runs, median reported.
 
 The corpus is the sf dir's documents table replicated deterministically
-PIE_BENCH_MULT times (default 20 → 100k docs at sf0.1): each replica
+PIE_BENCH_MULT times (default 200 → 1M docs at sf0.1): each replica
 gets a distinct doc_id and therefore a distinct generated document, so
 the input is compute-bound rather than dominated by fixed per-stage
 scheduling cost — the regime the 10^12-doc design point lives in.
@@ -93,7 +93,7 @@ def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = N_RUNS):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mult = int(os.environ.get("PIE_BENCH_MULT", "20"))
+    mult = int(os.environ.get("PIE_BENCH_MULT", "200"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     tmp = tempfile.mkdtemp(prefix="pie_bench_")

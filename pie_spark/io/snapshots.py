@@ -134,8 +134,22 @@ class SnapshotTable:
         return self._resolve(snapshot_id)["meta"]
 
 
-def resume_delta(docs: DataFrame, done_doc_ids: DataFrame) -> DataFrame:
-    """J5: anti-join resume — docs not yet processed by the checkpoint."""
-    return docs.join(
-        done_doc_ids.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
+def resume_delta(
+    docs: DataFrame, done_doc_ids: DataFrame, broadcast_max_ids: int = 5_000_000
+) -> DataFrame:
+    """J5: anti-join resume — docs not yet processed by the checkpoint.
+
+    Size-adaptive like the CC strategy choice: a shuffle left-anti join
+    repartitions the ENTIRE corpus (spans payload included) on doc_id
+    just to drop finished rows, while a broadcast anti-join streams the
+    corpus untouched. Done-id sets up to ``broadcast_max_ids`` (id
+    strings only — tens of MB) broadcast; beyond that (a mostly-finished
+    10^12-doc run) the shuffle join is the right plan and AQE handles
+    skew. The count probe is cheap: checkpoint tables are parquet, so
+    count() is metadata-only."""
+    from pyspark.sql import functions as F
+
+    done = done_doc_ids.select("doc_id").distinct()
+    if broadcast_max_ids > 0 and done_doc_ids.count() <= broadcast_max_ids:
+        done = F.broadcast(done)
+    return docs.join(done, "doc_id", "left_anti")

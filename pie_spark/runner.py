@@ -59,8 +59,13 @@ def run_checkpointed(
         done_mentions = ckpt.scan(spark, "mentions")
         todo = resume_delta(docs, done_docs)
         resumed_docs = todo.count()
-        fresh = extract_stage(spark, cfg, todo, dict_df)
-        merged = done_mentions.unionByName(fresh)
+        if resumed_docs == 0:
+            # fully-covered checkpoint: skip the (empty) fresh-extract
+            # branch entirely — no Python stage, no union
+            merged = done_mentions
+        else:
+            fresh = extract_stage(spark, cfg, todo, dict_df)
+            merged = done_mentions.unionByName(fresh)
         extract_sid = ckpt.current_snapshot()
     else:
         merged = extract_stage(spark, cfg, docs, dict_df)
