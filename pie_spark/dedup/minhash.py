@@ -19,7 +19,7 @@ oracle-checkable end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pie_spark.dedup.shingles import shingle_array

@@ -9,7 +9,7 @@ stage so media payload columns never cross into Python (P3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

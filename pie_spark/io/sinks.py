@@ -19,7 +19,7 @@ pie_spark.io.snapshots):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
 
 from pie_spark.io.snapshots import SnapshotTable
 
