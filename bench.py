@@ -34,7 +34,8 @@ import sys
 import tempfile
 import time
 
-N_RUNS = 3
+N_RUNS = 5           # median of 5: robust to hypervisor-steal outliers
+SCALING_RUNS = 3     # per parallelism level in the (slow) scaling mode
 SCALING_CORES = (4, 16)
 
 
@@ -76,7 +77,7 @@ def _time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = N_RUNS):
+def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = SCALING_RUNS):
     spark = _mk_session(cores, f"pie-bench-{cores}")
     try:
         n_docs = spark.read.parquet(docs_path).count()
