@@ -130,3 +130,61 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_payload(
+    payload: bytes, w: int, h: int, out_w: int, out_h: int, fake: bool = False
+) -> bytes:
+    """STUB: real resize needs PIL/opencv (absent in this container).
+    The deterministic fake derives the resized payload from
+    (payload, out dims) so tests can assert stability and uniqueness."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv — not available in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    return hashlib.sha256(payload + f"{out_w}x{out_h}".encode()).digest()
+
+
+def resize_images(media: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (mapInPandas):
+    aspect-preserving fit into (out_w, out_h) computed natively where
+    possible; the pixel work is the stubbed codec call. Only image rows
+    enter the Python stage (filter pushed below it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ow, oh, blobs = [], [], []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                scale = min(out_w / max(int(w), 1), out_h / max(int(h), 1))
+                tw = max(1, round(int(w) * scale))
+                th = max(1, round(int(h) * scale))
+                ow.append(tw)
+                oh.append(th)
+                blobs.append(resize_payload(p, int(w), int(h), tw, th, fake=True))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "payload": blobs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("doc_id", "media_ref", "payload", "width", "height")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )

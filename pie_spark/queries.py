@@ -671,6 +671,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_table(spark: SparkSession, sf_dir: str):
+    from pie_spark.extract.spans import explode_spans, media_spans
+    from pie_spark.fixtures.gen import interleaved_docs
+    from pie_spark.media.features import synth_media_table
+
+    docs = interleaved_docs(spark, sf_dir)
+    return synth_media_table(media_spans(explode_spans(docs)))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: Arrow-batched aspect-fit resize (stubbed codec, real
+    plumbing — rows-only)."""
+    from pie_spark.media.features import resize_images
+
+    out = resize_images(_media_table(spark, sf_dir))
+    return out.select(
+        "doc_id", "media_ref", "out_width", "out_height",
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: native frame-timestamp sampling from duration
+    metadata (rows-only)."""
+    from pie_spark.media.features import sample_frames
+
+    return sample_frames(_media_table(spark, sf_dir), every_ms=5000)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -712,6 +741,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "media_features": (q_media_features, None),
+    "media_resize": (q_media_resize, None),
+    "media_frame_sample": (q_media_frame_sample, None),
 }
 
 

@@ -51,3 +51,33 @@ def test_frame_sampling(media):
     row = media.filter(F.col("kind") == "audio").first()
     n = frames.filter(F.col("media_ref") == row.media_ref).count()
     assert n == row.duration_ms // 10000 + 1
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: aspect-preserving dims computed; payloads deterministic,
+    distinct per (payload, out-dims); only image rows reach Python."""
+    from pie_spark.extract.spans import explode_spans, media_spans
+    from pie_spark.fixtures.gen import interleaved_docs
+    from pie_spark.media.features import resize_images, synth_media_table
+
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+    media = synth_media_table(media_spans(explode_spans(docs)))
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == media.filter("kind = 'image'").count() > 0
+    for r in rows:
+        assert 1 <= r.out_width <= 224 and 1 <= r.out_height <= 224
+        assert max(r.out_width, r.out_height) == 224  # aspect-fit touches a side
+        assert len(r.payload) == 32
+    # determinism
+    again = {(r.doc_id, r.media_ref): bytes(r.payload) for r in out.collect()}
+    assert {(r.doc_id, r.media_ref): bytes(r.payload) for r in rows} == again
+
+
+def test_resize_requires_fake_flag():
+    import pytest
+
+    from pie_spark.media.features import resize_payload
+
+    with pytest.raises(NotImplementedError):
+        resize_payload(b"x", 10, 10, 5, 5)
