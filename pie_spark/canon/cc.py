@@ -35,10 +35,15 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     node id (string order) in the component. Deterministic.
 
     Per-iteration cost: ONE join (labels→neighbors) + ONE partial-agg
-    groupBy. The previous label rides along inside the same aggregation
-    (``max(old)`` — each node contributes exactly one self row), so the
-    convergence check is a cheap count over the already-checkpointed
-    result instead of an extra shuffle join.
+    groupBy, then ONE pointer-jump self-join (label ← min(label,
+    label-of-label) — Kiveris-style shortcutting). The jump makes
+    convergence O(log diameter) instead of O(diameter), so long alias
+    chains (pathological at web scale) finish within ``max_iters`` = 20
+    ⇒ diameters up to ~2^20. The previous label rides along inside the
+    aggregation (``max(old)`` — each node contributes exactly one self
+    row), so the convergence check is a cheap count over checkpointed
+    data. Raises instead of returning silently-wrong labels if the
+    iteration cap is ever hit.
     """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -57,17 +62,33 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             F.col("dst").alias("node"), "label", F.lit(None).cast("string").alias("old")
         )
         self_rows = labels.select("node", "label", F.col("label").alias("old"))
-        new = (
+        mins = (
             self_rows.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
+        # pointer jump: every label is itself a node id with a row in
+        # ``mins`` (labels only ever take node-id values), so one
+        # self-join fetches label-of-label
+        jump = mins.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+        new = (
+            mins.join(jump, mins.label == jump.jn, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("jl", "label")).alias("label"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new.filter(F.col("label") != F.col("old")).count()
         labels = new.select("node", "label")
         if changed == 0:
-            break
-    return labels.withColumnRenamed("label", "component")
+            return labels.withColumnRenamed("label", "component")
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} iterations "
+        f"(graph diameter > ~2^{max_iters}); raise max_iters"
+    )
 
 
 def union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:

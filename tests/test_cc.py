@@ -128,3 +128,21 @@ def test_cc_random_graphs_match_unionfind(spark):
             connected_components(salt_edges(edges, hot, salt_k=4))
         )
         _assert_matches_unionfind(spark, pairs, salted)
+
+
+def test_cc_long_chain_converges_via_pointer_jumping(spark):
+    """A 61-node path needs 60 propagation hops; pointer jumping must
+    finish it within the default 20-iteration cap (O(log d))."""
+    pairs = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(60)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    labels = connected_components(edges, max_iters=20)
+    assert {r["component"] for r in labels.collect()} == {"n0000"}
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    import pytest
+
+    pairs = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(40)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
