@@ -30,7 +30,7 @@ from pyspark.sql.functions import pandas_udf
 
 from pie_spark.extract.gazetteer import _AC_CACHE, AhoCorasick, find_gazetteer_matches
 from pie_spark.extract.matchers import find_matches
-from pie_spark.extract.tagger import tag_text
+from pie_spark.extract.tagger import tag_text, tag_texts
 
 # MATCH_STRUCT + detector tag (schemas.MATCH_STRUCT stays the binding
 # shape for the standalone detectors)
@@ -64,6 +64,26 @@ def detect_all(
     return out
 
 
+def detect_all_batch(
+    texts: list, ac: AhoCorasick, enable_phone: bool, enable_crf: bool
+) -> list[list[dict]]:
+    """Batch-level fused detection: regex + gazetteer per text, CRF
+    decoded by ONE batched numpy Viterbi over the whole Arrow batch
+    (tag_texts). Output ≡ ``[detect_all(t) for t in texts]`` — asserted
+    by tests."""
+    crf = tag_texts(list(texts)) if enable_crf else [[] for _ in texts]
+    out: list[list[dict]] = []
+    for text, crf_ms in zip(texts, crf):
+        if text is None:
+            out.append([])
+            continue
+        ms = [dict(m, detector="regex") for m in find_matches(text, enable_phone)]
+        ms += [dict(m, detector="gazetteer") for m in find_gazetteer_matches(text, ac)]
+        ms += [dict(m, detector="crf") for m in crf_ms]
+        out.append(ms)
+    return out
+
+
 def fused_matches(
     text_spans: DataFrame,
     spark: SparkSession,
@@ -86,10 +106,7 @@ def fused_matches(
             _AC_CACHE[cache_key] = ac
         for texts in batches:
             yield pd.Series(
-                [
-                    detect_all(t, ac, enable_phone, enable_crf) if t is not None else []
-                    for t in texts
-                ]
+                detect_all_batch(list(texts), ac, enable_phone, enable_crf)
             )
 
     with_m = text_spans.select("doc_id", "span_idx", "offset", det("text").alias("ms"))

@@ -166,6 +166,22 @@ def features(tokens: list[str]) -> np.ndarray:
     return np.array([_feat_row(t) for t in tokens], dtype=np.float64)
 
 
+# feature-row → emission-row cache. Each distinct indicator row's
+# emission vector is computed ONCE (single-row matmul) and reused by
+# both the scalar and the batched decode paths, so the two paths are
+# bit-identical by construction and the per-text matmul disappears from
+# the hot path entirely.
+_EM_ROW_CACHE: dict[tuple[float, ...], tuple[float, ...]] = {}
+
+
+def _em_row(feat: tuple[float, ...]) -> tuple[float, ...]:
+    em = _EM_ROW_CACHE.get(feat)
+    if em is None:
+        em = tuple((np.array([feat]) @ W_EMIT.T)[0].tolist())
+        _EM_ROW_CACHE[feat] = em
+    return em
+
+
 def viterbi(emissions: np.ndarray) -> list[int]:
     """Exact max-sum decoding; deterministic argmax (ties → lower tag id).
 
@@ -231,17 +247,8 @@ def _o_margin(row: tuple[float, ...]) -> float:
     return m
 
 
-def tag_text(text: str) -> list[dict]:
-    """T2: decode one span text → PERSON/ADDRESS mentions (≥2 tokens)."""
-    toks = tokenize(text)
-    if not toks:
-        return []
-    rows = [_feat_row(t[2]) for t in toks]
-    if all(_o_margin(r) > MARGIN_SAFE + 1e-9 for r in rows):
-        return []
-    X = np.array(rows, dtype=np.float64)
-    emissions = X @ W_EMIT.T
-    path = viterbi(emissions)
+def _mentions_from_path(path: list[int], toks, text: str) -> list[dict]:
+    """BIO path → PERSON/ADDRESS mentions (≥2 tokens)."""
     out: list[dict] = []
     i = 0
     while i < len(path):
@@ -264,6 +271,84 @@ def tag_text(text: str) -> list[dict]:
             i = j
         else:
             i += 1
+    return out
+
+
+def _prep(text: str):
+    """tokenize + skip-check; returns (toks, emission-row list) or None
+    when the all-O skip applies (provably no mentions)."""
+    toks = tokenize(text)
+    if not toks:
+        return None
+    rows = [_feat_row(t[2]) for t in toks]
+    if all(_o_margin(r) > MARGIN_SAFE + 1e-9 for r in rows):
+        return None
+    return toks, [_em_row(r) for r in rows]
+
+
+def tag_text(text: str) -> list[dict]:
+    """T2: decode one span text → PERSON/ADDRESS mentions (≥2 tokens)."""
+    prep = _prep(text)
+    if prep is None:
+        return []
+    toks, em_rows = prep
+    path = viterbi(np.array(em_rows, dtype=np.float64))
+    return _mentions_from_path(path, toks, text)
+
+
+def viterbi_batch(em_list: list[list[tuple[float, ...]]]) -> list[list[int]]:
+    """Batched exact Viterbi over variable-length emission sequences —
+    element-for-element the SAME arithmetic and first-max tie policy as
+    :func:`viterbi` (asserted bit-identical by tests), but one numpy DP
+    over the whole batch instead of a Python loop per token."""
+    if not em_list:
+        return []
+    B = len(em_list)
+    K = 5
+    lens = np.array([len(e) for e in em_list])
+    T_max = int(lens.max())
+    em = np.zeros((B, T_max, K))
+    for b, rows in enumerate(em_list):
+        em[b, : len(rows)] = rows
+    delta = W_START[None, :] + em[:, 0, :]          # (B, K)
+    backs = np.zeros((B, max(T_max - 1, 0), K), dtype=np.int64)
+    trans = W_TRANS[None, :, :]                     # (1, K, K)
+    for t in range(1, T_max):
+        scores = (delta[:, :, None] + trans) + em[:, t, :][:, None, :]  # (B,i,j)
+        bt = np.argmax(scores, axis=1)              # first-max ties, like viterbi
+        new_delta = np.take_along_axis(scores, bt[:, None, :], axis=1)[:, 0, :]
+        active = (t < lens)[:, None]
+        delta = np.where(active, new_delta, delta)
+        backs[:, t - 1, :] = bt
+    paths: list[list[int]] = []
+    for b in range(B):
+        n = int(lens[b])
+        d = delta[b]
+        last = 0
+        best = d[0]
+        for j in range(1, K):
+            if d[j] > best:
+                best = d[j]
+                last = j
+        path = [last]
+        for t in range(n - 2, -1, -1):
+            path.append(int(backs[b, t, path[-1]]))
+        paths.append(path[::-1])
+    return paths
+
+
+def tag_texts(texts: list[str]) -> list[list[dict]]:
+    """Batched T2 over many span texts: per-text skip-check, then ONE
+    numpy Viterbi over all surviving texts. Output identical to
+    ``[tag_text(t) for t in texts]`` (asserted by tests)."""
+    preps = [(_prep(t) if t is not None else None) for t in texts]
+    live = [i for i, p in enumerate(preps) if p is not None]
+    out: list[list[dict]] = [[] for _ in texts]
+    if live:
+        paths = viterbi_batch([preps[i][1] for i in live])
+        for i, path in zip(live, paths):
+            toks, _ = preps[i]
+            out[i] = _mentions_from_path(path, toks, texts[i])
     return out
 
 

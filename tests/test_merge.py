@@ -81,3 +81,24 @@ def test_fused_detector_equals_separate_detectors(spark):
     a = sorted(tuple(r) for r in sep.select(cols).collect())
     b = sorted(tuple(r) for r in fus.select(cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_detect_all_batch_equals_per_text():
+    import duckdb
+
+    from pie_spark.extract.fused import detect_all, detect_all_batch
+    from pie_spark.extract.gazetteer import AhoCorasick
+    from pie_spark.fixtures import gazetteer as gz
+    from pie_spark.fixtures.gen import gen_doc
+
+    ac = AhoCorasick(sorted({e.surface for e in gz.dictionary_entries()}))
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' limit 200"
+    ).fetchall()
+    texts = []
+    for d, t in rows:
+        texts += [s["text"] for s in gen_doc(str(d), t).spans if s["kind"] == "text"]
+    texts.append(None)
+    got = detect_all_batch(texts, ac, True, True)
+    want = [detect_all(t, ac, True, True) if t is not None else [] for t in texts]
+    assert got == want

@@ -143,3 +143,34 @@ def test_all_o_skip_is_exact_on_corpus():
             if not got:
                 n_skipped += 1
     assert n_spans > 500
+
+
+def test_viterbi_batch_bit_identical_to_scalar():
+    import numpy as np
+
+    from pie_spark.extract.tagger import viterbi, viterbi_batch
+
+    rng = np.random.default_rng(11)
+    ems = []
+    for _ in range(80):
+        n = int(rng.integers(1, 35))
+        ems.append([tuple(r) for r in np.round(rng.normal(size=(n, 5)), 1)])
+    batch = viterbi_batch(ems)
+    for rows, got in zip(ems, batch):
+        assert got == viterbi(np.array(rows))
+
+
+def test_tag_texts_equals_tag_text_on_corpus():
+    import duckdb
+
+    from pie_spark.extract.tagger import tag_text, tag_texts
+    from pie_spark.fixtures.gen import gen_doc
+
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    texts = []
+    for d, t in rows:
+        texts += [s["text"] for s in gen_doc(str(d), t).spans if s["kind"] == "text"]
+    texts += [None, "", "Mei Bergstrom at 12 Maple St"]
+    assert tag_texts(texts) == [tag_text(t) if t is not None else [] for t in texts]
