@@ -337,18 +337,43 @@ def viterbi_batch(em_list: list[list[tuple[float, ...]]]) -> list[list[int]]:
     return paths
 
 
+# max padded lattice cells (rows × padded length) per viterbi_batch
+# call: bounds worker memory to ~BATCH_CELL_BUDGET × 5 states × 8 B
+# (~80 MB) even when one pathological span is thousands of tokens long —
+# chunks are length-sorted, so padding waste stays small.
+BATCH_CELL_BUDGET = 2_000_000
+
+
 def tag_texts(texts: list[str]) -> list[list[dict]]:
-    """Batched T2 over many span texts: per-text skip-check, then ONE
-    numpy Viterbi over all surviving texts. Output identical to
-    ``[tag_text(t) for t in texts]`` (asserted by tests)."""
+    """Batched T2 over many span texts: per-text skip-check, then
+    length-sorted, memory-bounded numpy Viterbi over the survivors.
+    Output identical to ``[tag_text(t) for t in texts]`` (asserted by
+    tests; per-sequence decodes are independent, so chunking and
+    ordering cannot change results)."""
     preps = [(_prep(t) if t is not None else None) for t in texts]
-    live = [i for i, p in enumerate(preps) if p is not None]
+    live = sorted(
+        (i for i, p in enumerate(preps) if p is not None),
+        key=lambda i: len(preps[i][1]),
+    )
     out: list[list[dict]] = [[] for _ in texts]
-    if live:
-        paths = viterbi_batch([preps[i][1] for i in live])
-        for i, path in zip(live, paths):
+    chunk: list[int] = []
+
+    def flush() -> None:
+        if not chunk:
+            return
+        paths = viterbi_batch([preps[i][1] for i in chunk])
+        for i, path in zip(chunk, paths):
             toks, _ = preps[i]
             out[i] = _mentions_from_path(path, toks, texts[i])
+        chunk.clear()
+
+    for i in live:
+        n = len(preps[i][1])
+        # padded cells if i joins the (length-sorted) chunk: max len = n
+        if chunk and (len(chunk) + 1) * n > BATCH_CELL_BUDGET:
+            flush()
+        chunk.append(i)
+    flush()
     return out
 
 

@@ -174,3 +174,22 @@ def test_tag_texts_equals_tag_text_on_corpus():
         texts += [s["text"] for s in gen_doc(str(d), t).spans if s["kind"] == "text"]
     texts += [None, "", "Mei Bergstrom at 12 Maple St"]
     assert tag_texts(texts) == [tag_text(t) if t is not None else [] for t in texts]
+
+
+def test_tag_texts_mixed_extreme_lengths():
+    """Chunked batching: one pathological multi-thousand-token span mixed
+    with many short ones must not change results (and must not pad the
+    whole batch to the long span's length — exercised via a tiny cell
+    budget)."""
+    from pie_spark.extract import tagger as tg
+
+    long_text = ("Mei Bergstrom lives at 12 Maple St . " * 400).strip()
+    texts = [long_text] + ["call Mei Bergstrom now"] * 50 + ["plain words"] * 50
+    want = [tg.tag_text(t) for t in texts]
+    old = tg.BATCH_CELL_BUDGET
+    try:
+        tg.BATCH_CELL_BUDGET = 500  # force many tiny chunks
+        assert tg.tag_texts(texts) == want
+    finally:
+        tg.BATCH_CELL_BUDGET = old
+    assert tg.tag_texts(texts) == want
