@@ -130,17 +130,22 @@ def adaptive_components(
     design point) it falls back to the salted distributed loop. Both
     paths produce identical (node, component=min-node) labels.
 
-    The ``limit(N+1)`` probe bounds the driver collect: an oversized
-    graph ships at most N+1 rows before falling back.
+    The probe is a ``limit(N+1).count()`` — a pure aggregate, so an
+    oversized graph ships ONE long to the driver before falling back
+    (never N+1 rows). The collect itself is Arrow-based plain strings,
+    not pyspark Row objects (~10x lighter per edge on the driver heap).
 
     ``hot_nodes`` may be a thunk: hot-key detection costs a Spark job
     over the mention set, and salting only matters on the distributed
     path, so callers defer it and the fast path never pays for it.
     """
     if driver_max_edges > 0:
-        probe = edges.select("src", "dst").limit(driver_max_edges + 1).collect()
-        if len(probe) <= driver_max_edges:
-            labels = union_find([(r["src"], r["dst"]) for r in probe])
+        slim = edges.select("src", "dst")
+        if slim.limit(driver_max_edges + 1).count() <= driver_max_edges:
+            tbl = slim.toArrow()
+            labels = union_find(
+                list(zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()))
+            )
             return spark.createDataFrame(
                 sorted(labels.items()), "node string, component string"
             )

@@ -30,6 +30,11 @@ class PipelineConfig:
     fuse_detectors: bool = True  # regex+gazetteer+CRF in ONE Arrow pass
     # --- mention types emitted as HAS_* triples ---------------------------
     pii_types: tuple[str, ...] = ("EMAIL", "SSN", "PHONE", "ADDRESS")
+    # the gazetteer is broadcast-small by spec (BASELINE.json:6); this
+    # cap guards the driver-side surface collect against a dictionary
+    # that is NOT — past it the run fails fast with a clear error
+    # instead of OOMing the driver mid-broadcast.
+    dict_max_surfaces: int = 5_000_000
     # --- CC loop -----------------------------------------------------------
     cc_max_iters: int = 20
     # dictionary graphs at/below this edge count run exact union-find on

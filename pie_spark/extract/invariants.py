@@ -13,8 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canon_json(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.to_json("spans").alias("spans_json"))
+def _canon_json(docs: DataFrame, alias: str = "spans_json") -> DataFrame:
+    return docs.select("doc_id", F.to_json("spans").alias(alias))
 
 
 def reassemble(spans: DataFrame) -> DataFrame:
@@ -45,11 +45,15 @@ def reassemble(spans: DataFrame) -> DataFrame:
 
 
 def violation_rows(source_docs: DataFrame, exploded_spans: DataFrame) -> DataFrame:
-    """Docs whose reassembled sequence differs from the source."""
-    a = _canon_json(source_docs).alias("a")
-    b = _canon_json(reassemble(exploded_spans)).alias("b")
+    """Docs whose reassembled sequence differs from the source.
+
+    The two sides get distinct column names (src_/rebuilt_) so the
+    output schema has no duplicate columns — a duplicate name is
+    illegal for downstream pandas/oracle consumers."""
+    a = _canon_json(source_docs, "src_spans_json")
+    b = _canon_json(reassemble(exploded_spans), "rebuilt_spans_json")
     return a.join(b, "doc_id", "full_outer").filter(
-        ~F.col("a.spans_json").eqNullSafe(F.col("b.spans_json"))
+        ~F.col("src_spans_json").eqNullSafe(F.col("rebuilt_spans_json"))
     )
 
 

@@ -41,8 +41,35 @@ from pie_spark.link.linker import link_mentions
 from pie_spark.link.stats import hot_keys, surface_frequencies
 
 
+def collect_surfaces(dict_df: DataFrame, max_surfaces: int) -> list[str]:
+    """Distinct gazetteer surfaces for the in-UDF Aho-Corasick broadcast.
+
+    The dictionary is broadcast-small by spec, but an unbounded collect
+    would OOM the driver on a pathological input — so the size is probed
+    first with a ``limit(N+1).count()`` (one long to the driver) and an
+    oversized dictionary fails fast with a clear error. The collect
+    itself is Arrow-based plain strings, not Row objects."""
+    surf = dict_df.select("surface").distinct()
+    if surf.limit(max_surfaces + 1).count() > max_surfaces:
+        raise ValueError(
+            f"entity dictionary has more than {max_surfaces} distinct "
+            "surfaces — too large for the in-UDF Aho-Corasick broadcast. "
+            "Raise PipelineConfig.dict_max_surfaces only if the driver "
+            "has heap for it, or pre-filter the dictionary."
+        )
+    return surf.toArrow().column("surface").to_pylist()
+
+
 @dataclass
 class PipelineResult:
+    """All intermediate + final frames of one pipeline run.
+
+    ``hot`` is computed lazily: hot-key detection costs a Spark job over
+    the mention set and only matters on the distributed-CC path, so on
+    the driver union-find fast path (dictionary-scale graphs — the
+    common case) it stays ``[]`` even when skewed keys exist. Read it as
+    "hot keys the run actually salted", not "no skew detected"."""
+
     docs: DataFrame
     spans: DataFrame
     merged_mentions: DataFrame
@@ -65,7 +92,7 @@ def extract_stage(
     resumed run unions checkpointed mentions with fresh ones and gets a
     byte-identical downstream (SURVEY.md §5.1 resume test)."""
     txt = text_spans(explode_spans(docs))
-    surfaces = [r.surface for r in dict_df.select("surface").distinct().collect()]
+    surfaces = collect_surfaces(dict_df, cfg.dict_max_surfaces)
     if cfg.fuse_detectors:
         fused = fused_matches(
             txt, spark, surfaces,

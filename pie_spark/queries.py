@@ -74,6 +74,17 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violation_rows(docs, explode_spans(docs))
 
 
+# The binding invariant (BASELINE.json:15) states the violation set is
+# empty for EVERY document — so the oracle is the empty relation with
+# the matching schema: any violation row hash-mismatches the driver.
+SQL_SPAN_INVARIANT = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS src_spans_json,
+       CAST(NULL AS VARCHAR) AS rebuilt_spans_json
+WHERE 1 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL-checked operators (SURVEY.md §2: P1, M1, M2, A1, J2/W1, A3/W2, J1,
 # W4, G2, A5, A7)
@@ -491,14 +502,15 @@ def _lang_id_sql() -> str:
     cols = ", ".join(
         f"CAST({e} AS BIGINT) AS hits_{lang}" for lang, e in hit_exprs.items()
     )
-    # argmax with (hits, lang) struct-max — mirror Spark's array_sort pick
+    # argmax with asc-lang tiebreak — mirror Spark's sort-by-(neg_hits,
+    # lang)-take-first pick exactly
     structs = ", ".join(
-        f"{{'hits': hits_{lang}, 'lang': '{lang}'}}" for lang in hit_exprs
+        f"{{'neg_hits': -hits_{lang}, 'lang': '{lang}'}}" for lang in hit_exprs
     )
     return f"""
 WITH t AS (SELECT doc_id, {cols} FROM documents)
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in hit_exprs)},
-       list_sort([{structs}])[{len(hit_exprs)}].lang AS lang_guess
+       list_sort([{structs}])[1].lang AS lang_guess
 FROM t
 """
 
@@ -709,7 +721,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_triples": (q_pipeline_triples, None),
     "pipeline_mentions": (q_pipeline_mentions, None),
     "cc_canonical_map": (q_cc_canonical_map, None),
-    "span_invariant": (q_span_invariant, None),
+    "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),
     # SQL-checked operator surface
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),

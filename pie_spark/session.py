@@ -36,17 +36,23 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("PIE_DRIVER_MEM", "8g"))
-        # shuffle files / spills / local checkpoints on the fastest local
-        # storage available (tmpfs in this sandbox — the single-node
-        # stand-in for the NVMe shuffle volumes a real cluster would
-        # mount); shuffle I/O otherwise serializes on one spinning device
-        # and caps multi-core scaling.
-        .config(
-            "spark.local.dir",
-            os.environ.get("PIE_LOCAL_DIR", "/dev/shm/pie-spark-local"),
-        )
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill dir: tmpfs removes the single-disk I/O serialization
+    # that caps multi-core scaling on this box, BUT spills landing in RAM
+    # no longer relieve memory pressure — so tmpfs is used only when
+    # PIE_LOCAL_DIR asks for it explicitly, or /dev/shm has generous
+    # headroom (>= 32 GiB free). Otherwise Spark's disk default stands.
+    local_dir = os.environ.get("PIE_LOCAL_DIR")
+    if local_dir is None:
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                local_dir = "/dev/shm/pie-spark-local"
+        except OSError:
+            pass
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

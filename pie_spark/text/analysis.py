@@ -99,15 +99,16 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pairs = F.array(
         *[
             F.struct(
-                F.col(f"hits_{lang}").alias("hits"),
+                (-F.col(f"hits_{lang}")).alias("neg_hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang in LANG_STOPWORDS
         ]
     )
-    # max by (hits, then reverse-lexicographic lang) — array_max picks the
-    # struct-greatest; invert lang for asc tiebreak via a sort
-    best = F.array_sort(pairs).getItem(len(LANG_STOPWORDS) - 1)
+    # argmax with asc-lang tiebreak: sort (neg_hits, lang) ascending and
+    # take the FIRST element — highest hits, then lexicographically
+    # smallest language code (mirrored 1:1 by the generated oracle SQL)
+    best = F.array_sort(pairs).getItem(0)
     return scored.select(
         "doc_id",
         *[F.col(f"hits_{lang}").cast("long") for lang in LANG_STOPWORDS],

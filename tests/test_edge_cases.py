@@ -57,3 +57,43 @@ def test_doc_with_no_mentions_emits_nothing(spark):
     res = run(spark, PipelineConfig(), _docs(spark, rows), entity_dict_df(spark))
     assert res.triples.count() == 0
     res.unpersist()
+
+
+def test_oversized_dictionary_fails_fast(spark):
+    """The gazetteer collect is size-probed: past dict_max_surfaces it
+    raises instead of OOMing the driver (VERDICT r01 wrong#5)."""
+    import pytest
+
+    from pie_spark.pipeline import collect_surfaces
+
+    big = spark.range(10).selectExpr("cast(id as string) as surface")
+    with pytest.raises(ValueError, match="dict_max_surfaces"):
+        collect_surfaces(big, max_surfaces=5)
+    # under the cap: plain strings, all present
+    assert sorted(collect_surfaces(big, max_surfaces=10)) == sorted(
+        str(i) for i in range(10)
+    )
+
+
+def test_violation_rows_schema_has_distinct_names(spark):
+    """Driver harness canonicalizes via pandas df[col] — duplicate column
+    names break it (CORRECTNESS_r01 span_invariant err)."""
+    from pie_spark.extract.invariants import violation_rows
+    from pie_spark.extract.spans import explode_spans
+
+    rows = [("d1", [{"kind": "text", "text": "hello", "media_ref": None, "offset": 0}])]
+    docs = _docs(spark, rows)
+    v = violation_rows(docs, explode_spans(docs))
+    assert v.columns == ["doc_id", "src_spans_json", "rebuilt_spans_json"]
+    assert v.count() == 0
+
+
+def test_lang_id_tiebreak_is_lang_asc(spark):
+    """At equal stopword hits the guess is the lexicographically smallest
+    language code (VERDICT r01 wrong#6 — docstring/behavior mismatch)."""
+    from pie_spark.text.analysis import lang_id
+
+    docs = spark.createDataFrame([("t", "nothing matches any stopword")], ["doc_id", "text"])
+    row = lang_id(docs).collect()[0]
+    assert row.hits_en == row.hits_es == row.hits_de == row.hits_fr == 0
+    assert row.lang_guess == "de"
