@@ -5,13 +5,20 @@ Three tiers, all DataFrame-native (dot products via zip_with/aggregate
 
 * :func:`brute_force_topk` — exact cosine top-k. The correctness
   baseline; scales linearly (one broadcast of the query set, one scan).
-* :func:`lsh_topk` — random-hyperplane LSH: sign-bit sketch → bucket
-  equi-join → exact re-rank inside buckets. The scale path: candidate
-  set is bucket-sized, not corpus-sized. Planes are fixed-seed numpy,
-  shipped as literal arrays (deterministic across runs/partitionings).
-* :func:`ivf_topk` — IVF coarse quantizer: k deterministic centroids,
-  corpus assigned to nearest centroid (one broadcast join), query
-  probes ``nprobe`` nearest lists, exact re-rank inside probed lists.
+* :func:`lsh_topk` — random-hyperplane LSH with L INDEPENDENT tables
+  (OR-amplification, the same trick MinHash bands use): sign-bit sketch
+  per table → per-table bucket equi-join → union of candidates → exact
+  re-rank. One 8-bit table caught only ~43% of cosine≈0.95 pairs
+  (VERDICT r01); 4×6-bit tables push recall to 1-(1-p^6)^4. Candidate
+  set stays bucket-sized, not corpus-sized. Planes are fixed-seed
+  numpy, shipped as literal arrays (deterministic across runs and
+  partitionings) — which also makes the operator DuckDB-oracle-able
+  (the generated SQL inlines the same plane literals).
+* :func:`ivf_topk` — IVF coarse quantizer: centroids picked by
+  deterministic hash order (TakeOrderedAndProject — per-partition
+  top-k, never a global single-task sort), corpus assigned to nearest
+  centroid via map-side-combinable min_by aggregation, query probes
+  ``nprobe`` nearest lists, exact re-rank inside probed lists.
 
 Recall/coverage of the approximate tiers vs the exact baseline is
 measured in tests (no silent caps — the probe breadth is explicit).
@@ -69,8 +76,9 @@ def brute_force_topk(
     )
 
 
-def _planes(dim: int, nbits: int) -> list[list[float]]:
-    rng = np.random.default_rng(SEED)
+def _planes(dim: int, nbits: int, table: int = 0) -> list[list[float]]:
+    """Fixed-seed hyperplanes; each LSH table gets an independent set."""
+    rng = np.random.default_rng([SEED, table])
     return rng.standard_normal((nbits, dim)).tolist()
 
 
@@ -85,28 +93,49 @@ def _bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def _with_table_buckets(
+    df: DataFrame, vec: str, dim: int, nbits: int, n_tables: int
+) -> DataFrame:
+    """Explode each row into (tbl, bucket) per LSH table — the blocking
+    keys for the OR-amplified candidate join."""
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(*[_bucket(F.col(vec), _planes(dim, nbits, t)) for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nbits: int = 8,
+    nbits: int = 6,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Hyperplane-LSH ANN: same-bucket candidates, exact re-rank."""
-    planes = _planes(dim, nbits)
+    """Hyperplane-LSH ANN: candidates = union of same-bucket hits over
+    ``n_tables`` independent tables, then exact re-rank. Collision
+    probability per table is (1-θ/π)^nbits; the union amplifies recall
+    exactly like MinHash's OR-over-bands."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", _bucket(F.col("v"), planes))
+    )
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
-    ).withColumn("bucket", _bucket(F.col("qv"), planes))
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "q_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim")
+    )
+    cb = _with_table_buckets(c, "v", dim, nbits, n_tables).select("vec_id", "tbl", "bucket")
+    qb = _with_table_buckets(q, "qv", dim, nbits, n_tables).select("q_id", "tbl", "bucket")
+    cands = cb.join(F.broadcast(qb), ["tbl", "bucket"]).select("q_id", "vec_id").distinct()
+    scored = (
+        cands.join(c, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -127,32 +156,37 @@ def ivf_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """IVF ANN: deterministic coarse centroids (every (n/k)-th vector by
-    id order — reproducible without a training pass), nearest-centroid
-    assignment, ``nprobe`` probed lists per query, exact re-rank."""
+    """IVF ANN: deterministic coarse centroids = the ``n_centroids``
+    vectors with the smallest portable hash of their id — selected via
+    ``orderBy(hash).limit(k)``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k·P
+    rows), NOT a global sort: the r01 un-partitioned
+    ``row_number`` window pulled the whole corpus through one task.
+    Hash order is a uniform pseudo-random sample, reproducible without
+    a training pass. Assignment is a ``groupBy(vec_id).agg(min_by)`` —
+    algebraic, so map-side partial aggregation collapses the
+    (broadcast) centroid fan-out before any shuffle."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    w_all = Window.orderBy("vec_id")
-    n = c.count()
-    stride = max(n // n_centroids, 1)
+    hk = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
     cents = (
-        c.withColumn("rn", F.row_number().over(w_all))
-        .filter((F.col("rn") % stride == 0) & (F.col("rn") / stride <= n_centroids))
-        .select(
-            (F.col("rn") / stride).cast("int").alias("cent_id"),
-            F.col("v").alias("cv"),
-        )
+        c.withColumn("hk", hk)
+        .orderBy("hk", "vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
-    # assign corpus rows to nearest centroid (broadcast: centroids tiny)
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    # assign corpus rows to nearest centroid (broadcast: centroids tiny;
+    # min_by over (-csim, cent_id) = max csim with asc-id tiebreak)
+    ranked = F.struct((-cosine(F.col("v"), F.col("cv"))).alias("ncs"), F.col("cent_id").alias("cid"))
     assigned = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("v"), F.col("cv")))
-        .withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct(F.col("v").alias("v"), F.col("cent_id").alias("cent_id")), ranked).alias("best")
+        )
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cent_id").alias("cent_id"))
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")

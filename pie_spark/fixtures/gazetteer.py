@@ -40,7 +40,11 @@ STREET_NAMES = [
     "Maple", "Oak", "Cedar", "Birch", "Willow", "Aspen", "Juniper", "Laurel",
     "Magnolia", "Sycamore", "Chestnut", "Hawthorn", "Poplar", "Alder", "Elm",
 ]
-STREET_SUFFIXES = ["St", "Ave", "Rd", "Blvd"]
+STREET_SUFFIXES = [
+    "St", "Ave", "Rd", "Blvd",            # abbreviated
+    "Street", "Avenue", "Road", "Boulevard", "Lane", "Drive", "Way",  # spelled out
+]
+UNIT_KINDS = ["Apt", "Suite", "Unit"]
 
 N_ENTITIES = 500
 N_SHARED = 10     # entities 490..499 share their primary surface with 0..9

@@ -92,10 +92,22 @@ def _mk_phone(rng: np.random.Generator) -> str:
 
 
 def _mk_address(rng: np.random.Generator) -> str:
+    """Addresses in the full shape range the matcher must cover:
+    1-2 street words, abbreviated OR spelled-out suffix, optional unit
+    (de-overfit per VERDICT r01 — the generator and ADDRESS_RE were
+    co-designed to a single narrow shape)."""
     num = int(rng.integers(1, 10000))
-    name = gz.STREET_NAMES[int(rng.integers(0, len(gz.STREET_NAMES)))]
+    n_words = 2 if rng.random() < 0.35 else 1
+    words = " ".join(
+        gz.STREET_NAMES[int(rng.integers(0, len(gz.STREET_NAMES)))]
+        for _ in range(n_words)
+    )
     suf = gz.STREET_SUFFIXES[int(rng.integers(0, len(gz.STREET_SUFFIXES)))]
-    return f"{num} {name} {suf}"
+    addr = f"{num} {words} {suf}"
+    if rng.random() < 0.25:
+        kind = gz.UNIT_KINDS[int(rng.integers(0, len(gz.UNIT_KINDS)))]
+        addr += f" {kind} {int(rng.integers(1, 100))}"
+    return addr
 
 
 _PII_MAKERS = {"EMAIL": _mk_email, "SSN": _mk_ssn, "PHONE": _mk_phone, "ADDRESS": _mk_address}

@@ -46,6 +46,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def media_table_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic media-span rows derived NATIVELY from a documents
+    table — every expression is SQL-expressible, which is what lets the
+    media operators be DuckDB-oracle-checked end-to-end (the pipeline's
+    own media table comes from the numpy corpus generator, which no SQL
+    engine can mirror). Each doc gets ``length(text) % 4`` media items,
+    alternating image/audio. Feed the result to :func:`synth_media_table`.
+
+    Note the filter-then-explode order: Spark's ``sequence(1, 0)`` is the
+    DESCENDING [1, 0], not empty like DuckDB's generate_series, so docs
+    with zero items must be dropped before the sequence is built."""
+    n_media = F.length("text") % 4
+    return (
+        docs.filter(n_media >= 1)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), n_media)).alias("i"))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),  # media schemas are string-keyed
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string"),
+                     F.lit("/"), F.col("i").cast("string")).alias("media_ref"),
+            F.when(F.col("i") % 2 == 1, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        )
+    )
+
+
 def synth_media_table(media_spans: DataFrame) -> DataFrame:
     """Build the binary media table from media span rows: payload =
     sha2-derived pseudo-bytes (deterministic stand-in for real blobs);
@@ -84,8 +108,11 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic payload-derived feature vector: sha256 expand →
-    FEATURE_DIM floats in [0, 1)."""
-    raw = hashlib.sha256(payload).digest() * ((FEATURE_DIM * 4) // 32 + 1)
+    FEATURE_DIM floats in [0, 1). Hashes the payload's lowercase-hex
+    form, not the raw bytes — a VARCHAR input both Spark and DuckDB can
+    build identically (DuckDB 1.0 sha256 does not accept BLOB), keeping
+    the fake codec oracle-checkable."""
+    raw = hashlib.sha256(payload.hex().encode()).digest() * ((FEATURE_DIM * 4) // 32 + 1)
     arr = np.frombuffer(raw[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
     return (arr / 2**32).astype(np.float32)
 
@@ -154,7 +181,8 @@ def resize_payload(
             "image resize requires PIL/opencv — not available in this "
             "environment; pass fake=True for the deterministic stand-in"
         )
-    return hashlib.sha256(payload + f"{out_w}x{out_h}".encode()).digest()
+    # hex-string input for DuckDB-oracle parity (see _fake_features)
+    return hashlib.sha256(f"{payload.hex()}{out_w}x{out_h}".encode()).digest()
 
 
 def resize_images(media: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFrame:
@@ -167,12 +195,17 @@ def resize_images(media: DataFrame, out_w: int = 224, out_h: int = 224) -> DataF
         for pdf in batches:
             ow, oh, blobs = [], [], []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                scale = min(out_w / max(int(w), 1), out_h / max(int(h), 1))
-                tw = max(1, round(int(w) * scale))
-                th = max(1, round(int(h) * scale))
+                # aspect-fit in EXACT integer math (min(ow·h, oh·w) is the
+                # shared scale numerator over w·h): floats would tie-break
+                # .5 cases differently across engines (Python banker's
+                # round vs SQL half-away) and break oracle parity
+                w, h = max(int(w), 1), max(int(h), 1)
+                m = min(out_w * h, out_h * w)
+                tw = max(1, m // h)
+                th = max(1, m // w)
                 ow.append(tw)
                 oh.append(th)
-                blobs.append(resize_payload(p, int(w), int(h), tw, th, fake=True))
+                blobs.append(resize_payload(p, w, h, tw, th, fake=True))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -565,10 +565,40 @@ SELECT doc_id, {mins} FROM sh GROUP BY doc_id
 
 
 def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (banded bucket join — rows-only)."""
+    """MinHash+LSH near-dup pairs (banded bucket join — SQL-checked via
+    a generated lockstep mirror of bands, guard, and est-Jaccard)."""
     from pie_spark.dedup.minhash import near_duplicates
 
     return near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_neardups_sql(threshold: float = 0.5, max_bucket: int = 50) -> str:
+    from pie_spark.dedup.minhash import BANDS, K_PERMS
+
+    r = K_PERMS // BANDS
+    bands = ", ".join(
+        "{'band': %d, 'bucket': md5(%s)}"
+        % (b, " || ',' || ".join(f"CAST(h{p} AS VARCHAR)" for p in range(b * r, (b + 1) * r)))
+        for b in range(BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END)" for p in range(K_PERMS)
+    )
+    return f"""
+WITH sigs AS ({_minhash_sql()}),
+bk AS (SELECT doc_id, unnest([{bands}], recursive := true) FROM sigs),
+sizes AS (SELECT band, bucket FROM bk GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND {max_bucket}),
+ok AS (SELECT bk.* FROM bk JOIN sizes USING (band, bucket)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM ok x JOIN ok y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, round(({agree}) / {K_PERMS}, 6) AS est_jaccard
+FROM cand
+JOIN sigs a ON a.doc_id = doc_a
+JOIN sigs b ON b.doc_id = doc_b
+WHERE round(({agree}) / {K_PERMS}, 6) >= {threshold}
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,7 +608,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-band near-dup pairs (rows-only)."""
+    """SimHash Hamming-block near-dup pairs (SQL-checked: the blocking
+    keys and bit arithmetic are mirrored by generated DuckDB SQL)."""
     from pie_spark.dedup.simhash import near_duplicate_pairs
 
     return near_duplicate_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
@@ -610,7 +641,8 @@ WHERE round(len(list_filter(pa.sh, x -> list_contains(pb.sh, x))) * 1.0 /
 
 
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane-LSH blocking (rows-only)."""
+    """Embedding-cosine near-dup via multi-table hyperplane-LSH blocking
+    (SQL-checked: generated oracle inlines the same fixed-seed planes)."""
     from pie_spark.dedup.embedding import cosine_near_duplicates
 
     # fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51
@@ -618,6 +650,113 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+# --- generated DuckDB mirrors for the hyperplane-LSH family ----------------
+# The planes are fixed-seed numpy literals shipped into BOTH engines, so
+# the only cross-engine risk is float summation order; the dot product is
+# written identically (list fold) on each side and verified by the oracle
+# parity test at sf0.01 before the driver ever sees it.
+
+
+def _cos_sql(v: str, q: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({v}) + 1), j -> {v}[j] * {q}[j]))"
+        f" / (sqrt(list_sum(list_transform({v}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({q}, x -> x * x)))))"
+    )
+
+
+def _planes_cte(nbits: int, n_tables: int, dim: int) -> str:
+    from pie_spark.ann.search import _planes
+
+    rows = []
+    for t in range(n_tables):
+        for bit, p in enumerate(_planes(dim, nbits, t)):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            rows.append(f"({t}, {bit}, {lit}::DOUBLE[])")
+    return "planes(tbl, bit, p) AS (VALUES " + ",\n".join(rows) + ")"
+
+
+def _bucket_cte(name: str, src: str, id_expr: str, vec: str, dim: int) -> str:
+    dot = f"list_sum(list_transform(range(1, {dim} + 1), j -> {vec}[j] * p[j]))"
+    return (
+        f"{name} AS (SELECT {id_expr}, tbl, CAST(sum(CASE WHEN {dot} > 0"
+        f" THEN 1 << bit ELSE 0 END) AS INT) AS bucket"
+        f" FROM {src}, planes GROUP BY 1, 2)"
+    )
+
+
+def _ann_lsh_sql(k: int = 10, nbits: int = 6, n_tables: int = 4, dim: int = 64) -> str:
+    return f"""
+WITH {_planes_cte(nbits, n_tables, dim)},
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+{_bucket_cte('cb', 'c', 'vec_id', 'v', dim)},
+{_bucket_cte('qb', 'q', 'q_id', 'qv', dim)},
+cand AS (SELECT DISTINCT q_id, vec_id FROM cb JOIN qb USING (tbl, bucket)),
+scored AS (
+  SELECT cand.q_id, cand.vec_id, round({_cos_sql('c.v', 'q.qv')}, 6) AS sim
+  FROM cand JOIN c USING (vec_id) JOIN q USING (q_id)
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, sim
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+def _embedding_neardups_sql(
+    threshold: float = 0.3, nbits: int = 6, n_tables: int = 4,
+    dim: int = 64, max_bucket: int = 200,
+) -> str:
+    return f"""
+WITH {_planes_cte(nbits, n_tables, dim)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_bucket_cte('eb', 'e', 'vec_id', 'v', dim)},
+sizes AS (SELECT tbl, bucket FROM eb GROUP BY tbl, bucket
+          HAVING count(*) BETWEEN 2 AND {max_bucket}),
+ok AS (SELECT eb.* FROM eb JOIN sizes USING (tbl, bucket)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM ok a JOIN ok b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({_cos_sql('ea.v', 'ebb.v')}, 6) AS sim
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e ebb ON ebb.vec_id = id_b
+WHERE round({_cos_sql('ea.v', 'ebb.v')}, 6) >= {threshold}
+"""
+
+
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, nprobe: int = 4) -> str:
+    hk = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT"
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM c ORDER BY {hk}, vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT c.vec_id, c.v, cents.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_cos_sql('c.v', 'cents.cv')} DESC, cents.cent_id ASC) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT q.q_id, q.qv, cents.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {_cos_sql('q.qv', 'cents.cv')} DESC, cents.cent_id ASC) AS rn
+    FROM q, cents
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT probes.q_id, assigned.vec_id, round({_cos_sql('assigned.v', 'probes.qv')}, 6) AS sim
+  FROM assigned JOIN probes USING (cent_id)
+)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, sim
+FROM scored QUALIFY rank <= {k}
+"""
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str):
@@ -667,34 +806,78 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10)
 
 
+def _media_table(spark: SparkSession, sf_dir: str):
+    """Media payload table derived NATIVELY from the documents fixture —
+    same synth_media_table operator the pipeline path uses (tested on
+    generator output in test_media.py), but over a SQL-expressible span
+    source so all three media queries are DuckDB-hash-checked."""
+    from pie_spark.media.features import media_table_from_docs, synth_media_table
+
+    return synth_media_table(media_table_from_docs(_t(spark, sf_dir, "documents")))
+
+
+# shared SQL mirror of _media_table (lockstep with media_table_from_docs
+# + synth_media_table: sha256-derived payload/metadata)
+_SQL_MEDIA_CTE = """
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS media_ref,
+         CASE WHEN i % 2 = 1 THEN 'image' ELSE 'audio' END AS kind
+  FROM (SELECT doc_id, unnest(generate_series(1, length(text) % 4)) AS i FROM documents)
+),
+mt AS (
+  SELECT doc_id, media_ref, kind,
+         unhex(sha256(media_ref)) AS payload,
+         CASE WHEN kind = 'image'
+              THEN CAST(('0x' || substr(sha256(media_ref), 1, 3))::UBIGINT % 1920 + 1 AS INT) END AS width,
+         CASE WHEN kind = 'image'
+              THEN CAST(('0x' || substr(sha256(media_ref), 4, 3))::UBIGINT % 1080 + 1 AS INT) END AS height,
+         CASE WHEN kind = 'audio'
+              THEN CAST(('0x' || substr(sha256(media_ref), 7, 4))::UBIGINT % 60000 + 1 AS INT) END AS duration_ms
+  FROM m
+)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload table → Arrow-batched feature
-    extraction (stubbed codec, real plumbing — rows-only)."""
-    from pie_spark.extract.spans import explode_spans, media_spans
-    from pie_spark.fixtures.gen import interleaved_docs
-    from pie_spark.media.features import extract_features, synth_media_table
+    extraction (stubbed codec, real mapInPandas plumbing — SQL-checked:
+    the deterministic fake codec is mirrored bit-exactly in DuckDB)."""
+    from pie_spark.media.features import extract_features
 
-    docs = interleaved_docs(spark, sf_dir)
-    media = synth_media_table(media_spans(explode_spans(docs)))
-    feats = extract_features(media)
+    feats = extract_features(_media_table(spark, sf_dir))
     return feats.select(
         "doc_id", "media_ref", "kind",
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 5).alias("feat_sum"),
     )
 
 
-def _media_table(spark: SparkSession, sf_dir: str):
-    from pie_spark.extract.spans import explode_spans, media_spans
-    from pie_spark.fixtures.gen import interleaved_docs
-    from pie_spark.media.features import synth_media_table
+def _media_features_sql() -> str:
+    from pie_spark.media.features import FEATURE_DIM
 
-    docs = interleaved_docs(spark, sf_dir)
-    return synth_media_table(media_spans(explode_spans(docs)))
+    # _fake_features: d = sha256(payload) → 16 float32s v[i] = LE-uint32
+    # at digest byte 4·(i%8) divided by 2^32; summed into a double acc
+    # left-to-right (Spark F.aggregate fold), rounded to 5.
+    feats = []
+    for i in range(FEATURE_DIM):
+        j = i % 8
+        byte_terms = " + ".join(
+            f"(('0x' || substr(d, {2 * (4 * j + b) + 1}, 2))::UBIGINT * {1 << (8 * b)})"
+            for b in range(4)
+        )
+        feats.append(f"CAST(CAST(({byte_terms}) AS DOUBLE) / 4294967296 AS FLOAT)")
+    total = " + ".join(f"CAST({f} AS DOUBLE)" for f in feats)
+    return f"""
+WITH {_SQL_MEDIA_CTE.strip()},
+dg AS (SELECT doc_id, media_ref, kind, sha256(lower(hex(payload))) AS d FROM mt)
+SELECT doc_id, media_ref, kind, round({total}, 5) AS feat_sum
+FROM dg
+"""
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: Arrow-batched aspect-fit resize (stubbed codec, real
-    plumbing — rows-only)."""
+    plumbing — SQL-checked via the sha256 fake and exact integer dims)."""
     from pie_spark.media.features import resize_images
 
     out = resize_images(_media_table(spark, sf_dir))
@@ -704,12 +887,38 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resize_sql(out_w: int = 224, out_h: int = 224) -> str:
+    # integer aspect-fit (m = min(ow·h, oh·w); tw = m//h; th = m//w) and
+    # fake resize payload = sha256(payload || '{tw}x{th}')
+    return f"""
+WITH {_SQL_MEDIA_CTE.strip()},
+dims AS (
+  SELECT doc_id, media_ref, payload,
+         greatest(1, least({out_w} * height, {out_h} * width) // height) AS tw,
+         greatest(1, least({out_w} * height, {out_h} * width) // width) AS th
+  FROM mt WHERE kind = 'image'
+)
+SELECT doc_id, media_ref,
+       CAST(tw AS INT) AS out_width, CAST(th AS INT) AS out_height,
+       md5(upper(sha256(lower(hex(payload)) || CAST(tw AS VARCHAR) || 'x' || CAST(th AS VARCHAR)))) AS payload_md5
+FROM dims
+"""
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: native frame-timestamp sampling from duration
-    metadata (rows-only)."""
+    metadata (SQL-checked: generate_series mirror)."""
     from pie_spark.media.features import sample_frames
 
-    return sample_frames(_media_table(spark, sf_dir), every_ms=5000)
+    out = sample_frames(_media_table(spark, sf_dir), every_ms=5000)
+    return out.select("doc_id", "media_ref", F.col("ts_ms").cast("long").alias("ts_ms"))
+
+
+_SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH {_SQL_MEDIA_CTE.strip()}
+SELECT doc_id, media_ref, unnest(generate_series(0, duration_ms, 5000)) AS ts_ms
+FROM mt WHERE duration_ms IS NOT NULL
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -744,25 +953,27 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
-    "minhash_neardups": (q_minhash_neardups, None),
-    "simhash": (q_simhash, None),  # SQL mirror exists (simhash_sql) — wired below
+    "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
+    "simhash": (q_simhash, None),        # generated SQL mirrors wired below
     "simhash_neardups": (q_simhash_neardups, None),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "embedding_neardups": (q_embedding_neardups, None),
+    "embedding_neardups": (q_embedding_neardups, _embedding_neardups_sql()),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE_FORCE),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "media_features": (q_media_features, None),
-    "media_resize": (q_media_resize, None),
-    "media_frame_sample": (q_media_frame_sample, None),
+    "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
+    "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
+    "media_features": (q_media_features, _media_features_sql()),
+    "media_resize": (q_media_resize, _media_resize_sql()),
+    "media_frame_sample": (q_media_frame_sample, _SQL_MEDIA_FRAME_SAMPLE),
 }
 
 
 def _wire_simhash_sql() -> None:
-    from pie_spark.dedup.simhash import simhash_sql
+    from pie_spark.dedup.simhash import near_duplicate_pairs_sql, simhash_sql
 
     fn, _ = QUERIES["simhash"]
     QUERIES["simhash"] = (fn, simhash_sql())
+    fn, _ = QUERIES["simhash_neardups"]
+    QUERIES["simhash_neardups"] = (fn, near_duplicate_pairs_sql(max_hamming=6))
 
 
 _wire_simhash_sql()

@@ -57,6 +57,35 @@ def test_simhash_near_duplicates(corpus):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_simhash_blocking_guarantee_beyond_chunk_count(spark):
+    """A Hamming-5 pair whose 5 differing bits hit ALL FOUR 16-bit
+    chunks: the r01 chunk-equality blocking had no matching chunk and
+    silently missed it; the (max_hamming+1)-block scheme must find it."""
+    from pie_spark.dedup.simhash import pairs_from_chunks
+
+    a = (0b0000000000000000, 0, 0, 0)
+    # flip bits 0, 1 (chunk 0), 16 (chunk 1), 32 (chunk 2), 48 (chunk 3)
+    b = (0b11, 1, 1, 1)
+    assert all(x != y for x, y in zip(a, b))  # no chunk agrees
+    sh = spark.createDataFrame(
+        [(1, *a), (2, *b)], ["doc_id", "h0", "h1", "h2", "h3"]
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs_from_chunks(sh, max_hamming=5).collect()}
+    assert got == {(1, 2): 5}
+    # and the distance filter still rejects when the bar is lower
+    assert pairs_from_chunks(sh, max_hamming=4).count() == 0
+
+
+def test_simhash_max_hamming_validated(spark):
+    import pytest
+
+    from pie_spark.dedup.simhash import pairs_from_chunks
+
+    sh = spark.createDataFrame([(1, 0, 0, 0, 0)], ["doc_id", "h0", "h1", "h2", "h3"])
+    with pytest.raises(ValueError, match="max_hamming"):
+        pairs_from_chunks(sh, max_hamming=16)
+
+
 def test_ngram_jaccard(corpus):
     from pie_spark.dedup.ngram import jaccard_pairs
 

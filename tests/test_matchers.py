@@ -46,6 +46,26 @@ def test_address():
     assert _types("at 123 maple St") == []     # lowercase street name
 
 
+def test_address_real_world_shapes():
+    """r01's regex accepted ONLY `\\d{1,5} [A-Z][a-z]+ (St|Ave|Rd|Blvd)`
+    — these are the shapes a user's first real document contains."""
+    # spelled-out suffixes
+    assert _types("at 44 Birch Street corner") == [("ADDRESS", "44 Birch Street")]
+    assert _types("at 7 Aspen Boulevard end") == [("ADDRESS", "7 Aspen Boulevard")]
+    # multi-word street names
+    assert _types("at 1600 Santa Rosa Ave x") == [("ADDRESS", "1600 Santa Rosa Ave")]
+    assert _types("at 12 King George Road x") == [("ADDRESS", "12 King George Road")]
+    # units
+    assert _types("at 99 Oak Ave Apt 4B x") == [("ADDRESS", "99 Oak Ave Apt 4B")]
+    assert _types("at 12 Elm Street, Suite 200 x") == [
+        ("ADDRESS", "12 Elm Street, Suite 200")
+    ]
+    # suffix must not be clipped ('Street' ≠ 'St' + 'reet')
+    assert _types("at 5 Cedar Streets x") == []
+    # still negative: no suffix, lowercase words
+    assert _types("at 5 random words here") == []
+
+
 def test_multiple_types_one_pass():
     got = _types("a.b@example2.com then 523-45-6789 then 99 Oak Ave")
     assert got == [
