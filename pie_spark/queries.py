@@ -64,6 +64,46 @@ def q_cc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_canonical_map(labels).select("norm_key", "canon_entity_id")
 
 
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 distributed min-label CC hash-checked against an independent
+    engine: chain edges derived from the documents fixture (consecutive
+    doc_ids within (lang, source, doc_id%50) groups), oracled by a
+    DuckDB recursive-CTE transitive closure. Unlike cc_canonical_map
+    (dictionary graph, rows-only), this pins the iterated-join operator
+    itself to an external fixpoint computation."""
+    from pie_spark.canon.cc import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source", (F.col("doc_id") % 50).alias("g")).orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").cast("string").alias("src"),
+            F.col("doc_id").cast("string").alias("dst"),
+        )
+    )
+    return connected_components(edges)
+
+
+SQL_CC_COMPONENTS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         lag(doc_id) OVER (PARTITION BY lang, source, doc_id % 50 ORDER BY doc_id) AS prev
+  FROM documents
+),
+edges AS (SELECT CAST(prev AS VARCHAR) AS src, CAST(doc_id AS VARCHAR) AS dst
+          FROM base WHERE prev IS NOT NULL),
+und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT u.src AS node, r.r FROM und u JOIN reach r ON r.node = u.dst
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-sequence invariant violations — MUST be empty (0 rows)."""
     from pie_spark.extract.invariants import violation_rows
@@ -414,6 +454,121 @@ SELECT round(m.n / (SELECT count(*) FROM e), 6) AS precision,
        (SELECT count(*) FROM g) AS n_golden,
        m.n AS n_matched
 FROM m
+"""
+
+
+def _pii_text_parts(custkey, name_col):
+    """Shared recipe for a natively-constructed PII-bearing text column:
+    every component is SQL-expressible, so the REAL Python fused matcher
+    (find_matches — the pipeline's Arrow-UDF core) can be hash-checked
+    against per-type DuckDB regex extraction (VERDICT r01 next#8: a
+    pipeline-level oracle on the highest-precision slice)."""
+    from pie_spark.fixtures import gazetteer as gz
+
+    local = F.regexp_replace(F.lower(name_col), "[^a-z0-9]", "")
+    def pad(col, n):
+        return F.lpad(col.cast("int").cast("string"), n, "0")
+    streets = F.array(*[F.lit(s) for s in gz.STREET_NAMES])
+    suffixes = F.array(*[F.lit(s) for s in gz.STREET_SUFFIXES])
+    addr = F.concat(
+        (custkey % 9999 + 1).cast("string"), F.lit(" "),
+        F.element_at(streets, (custkey % 15 + 1).cast("int")), F.lit(" "),
+        F.when(
+            custkey % 3 == 0,
+            F.concat(F.element_at(streets, (custkey * 5 % 15 + 1).cast("int")), F.lit(" ")),
+        ).otherwise(F.lit("")),
+        F.element_at(suffixes, (custkey % 11 + 1).cast("int")),
+        F.when(custkey % 4 == 0, F.concat(F.lit(" Apt "), (custkey % 50 + 1).cast("string"))).otherwise(F.lit("")),
+    )
+    return F.concat(
+        F.lit("Contact "), name_col,
+        F.lit(" at "), local, F.lit("@example"), (custkey % 10).cast("string"), F.lit(".com"),
+        F.lit(" or call ("), (custkey * 3 % 700 + 200).cast("string"), F.lit(") "),
+        (custkey * 7 % 700 + 200).cast("string"), F.lit("-"), pad(custkey * 13 % 10000, 4),
+        F.lit(" SSN "), pad(custkey * 7 % 1000, 3), F.lit("-"),
+        pad(custkey % 100, 2), F.lit("-"), pad(custkey * 13 % 10000, 4),
+        F.lit(" ref "), pad(custkey * 11 % 1000000000, 9),  # 9 digits, NOT an SSN
+        F.lit(" bad 666-12-3456 near "), addr, F.lit(" today"),
+    )
+
+
+def _pii_text_sql() -> str:
+    from pie_spark.fixtures import gazetteer as gz
+
+    streets = "[" + ", ".join(f"'{s}'" for s in gz.STREET_NAMES) + "]"
+    suffixes = "[" + ", ".join(f"'{s}'" for s in gz.STREET_SUFFIXES) + "]"
+    pad = lambda e, n: f"lpad(CAST(CAST({e} AS INT) AS VARCHAR), {n}, '0')"
+    addr = (
+        f"CAST(c_custkey % 9999 + 1 AS VARCHAR) || ' ' || ({streets})[c_custkey % 15 + 1] || ' ' || "
+        f"(CASE WHEN c_custkey % 3 = 0 THEN ({streets})[c_custkey * 5 % 15 + 1] || ' ' ELSE '' END) || "
+        f"({suffixes})[c_custkey % 11 + 1] || "
+        f"(CASE WHEN c_custkey % 4 = 0 THEN ' Apt ' || CAST(c_custkey % 50 + 1 AS VARCHAR) ELSE '' END)"
+    )
+    return (
+        "'Contact ' || c_name || ' at ' || regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')"
+        " || '@example' || CAST(c_custkey % 10 AS VARCHAR) || '.com'"
+        " || ' or call (' || CAST(c_custkey * 3 % 700 + 200 AS VARCHAR) || ') '"
+        f" || CAST(c_custkey * 7 % 700 + 200 AS VARCHAR) || '-' || {pad('c_custkey * 13 % 10000', 4)}"
+        f" || ' SSN ' || {pad('c_custkey * 7 % 1000', 3)} || '-' || {pad('c_custkey % 100', 2)}"
+        f" || '-' || {pad('c_custkey * 13 % 10000', 4)}"
+        f" || ' ref ' || {pad('c_custkey * 11 % 1000000000', 9)}"
+        f" || ' bad 666-12-3456 near ' || {addr} || ' today'"
+    )
+
+
+def q_regex_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Arrow-batched Python matcher (M5 find_matches: combined
+    alternation + SSN validity) hash-checked against DuckDB per-type
+    regex extraction on a constructed corpus containing every PII type
+    plus adversarial negatives (bare 9-digit id, invalid-area SSN)."""
+    from pie_spark.extract.matchers import regex_matches
+
+    c = _t(spark, sf_dir, "customer")
+    spans = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.lit(0).alias("offset"),
+        _pii_text_parts(F.col("c_custkey"), F.col("c_name")).alias("text"),
+    )
+    m = regex_matches(spans)
+    w = Window.partitionBy("doc_id", "mention_type").orderBy("start")
+    return m.select(
+        "doc_id", "mention_type", "surface",
+        F.row_number().over(w).cast("long").alias("idx"),
+    )
+
+
+def _regex_mentions_sql() -> str:
+    from pie_spark.extract.matchers import EMAIL_RE, PHONE_RE, SSN_RE, ADDRESS_RE
+
+    # duckdb single-quoted literals do no backslash processing, so the
+    # python regex strings pass through verbatim; only quotes double
+    def lit(pattern: str) -> str:
+        return pattern.replace("'", "''")
+
+    ex = " UNION ALL".join(
+        f"""
+  SELECT doc_id, '{tname}' AS mention_type,
+         unnest(regexp_extract_all(text, '{lit(pat)}')) AS surface,
+         unnest(range(1, len(regexp_extract_all(text, '{lit(pat)}')) + 1)) AS ord
+  FROM t"""
+        for tname, pat in [
+            ("EMAIL", EMAIL_RE), ("SSN", SSN_RE),
+            ("PHONE", PHONE_RE), ("ADDRESS", ADDRESS_RE),
+        ]
+    )
+    return f"""
+WITH t AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_pii_text_sql()} AS text FROM customer),
+ex AS ({ex}),
+valid AS (
+  SELECT * FROM ex
+  WHERE mention_type <> 'SSN' OR (
+    substr(surface, 1, 3) NOT IN ('000', '666') AND substr(surface, 1, 3) < '900'
+    AND substr(surface, 5, 2) <> '00' AND substr(surface, 8, 4) <> '0000')
+)
+SELECT doc_id, mention_type, surface,
+       CAST(row_number() OVER (PARTITION BY doc_id, mention_type ORDER BY ord) AS BIGINT) AS idx
+FROM valid
 """
 
 
@@ -930,9 +1085,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_triples": (q_pipeline_triples, None),
     "pipeline_mentions": (q_pipeline_mentions, None),
     "cc_canonical_map": (q_cc_canonical_map, None),
+    "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),
     # SQL-checked operator surface
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
+    "regex_mentions": (q_regex_mentions, _regex_mentions_sql()),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
     "ssn_validity": (q_ssn_validity, SQL_SSN_VALIDITY),
     "surface_freq": (q_surface_freq, SQL_SURFACE_FREQ),
