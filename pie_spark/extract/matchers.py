@@ -52,6 +52,15 @@ _COMBINED = re.compile(
 
 _SSN_SPLIT = re.compile(r"^(\d{3})-(\d{2})-(\d{4})$")
 
+# The validity rule as a pure regular language (no lookahead — RE2/DuckDB
+# compatible): area 001-899 except 666, group 01-99, serial 0001-9999.
+# test_matchers.py proves equivalence with _ssn_valid by enumeration.
+SSN_VALID_RE = (
+    r"\b(?:0(?:0[1-9]|[1-9]\d)|[1-57-8]\d\d|6(?:[0-57-9]\d|6[0-57-9]))"
+    r"-(?:0[1-9]|[1-9]\d)"
+    r"-(?:000[1-9]|00[1-9]\d|0[1-9]\d\d|[1-9]\d{3})\b"
+)
+
 
 def _ssn_valid(s: str) -> bool:
     m = _SSN_SPLIT.match(s)

@@ -572,6 +572,104 @@ FROM valid
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the constructed corpus: detect with the REAL
+    fused Python matcher, splice typed placeholders with the native
+    offset-fold operator. Hash-checked against chained DuckDB
+    regexp_replace (with the validity rule as a pure regular language),
+    which is equivalent because merged mentions never overlap."""
+    from pie_spark.extract.matchers import regex_matches
+    from pie_spark.extract.redact import redact_spans
+
+    c = _t(spark, sf_dir, "customer")
+    spans = c.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.lit(0).alias("offset"),
+        _pii_text_parts(F.col("c_custkey"), F.col("c_name")).alias("text"),
+    )
+    m = regex_matches(spans).select(
+        "doc_id", "span_idx", "start", "end", "mention_type"
+    )
+    return redact_spans(spans, m).select("doc_id", "redacted")
+
+
+def _redact_pii_sql() -> str:
+    from pie_spark.extract.matchers import (
+        ADDRESS_RE,
+        EMAIL_RE,
+        PHONE_RE,
+        SSN_VALID_RE,
+    )
+
+    def lit(p: str) -> str:
+        return p.replace("'", "''")
+
+    out = "text"
+    for tname, pat in [
+        ("EMAIL", EMAIL_RE), ("SSN", SSN_VALID_RE),
+        ("PHONE", PHONE_RE), ("ADDRESS", ADDRESS_RE),
+    ]:
+        out = f"regexp_replace({out}, '{lit(pat)}', '[{tname}]', 'g')"
+    return f"""
+WITH t AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_pii_text_sql()} AS text FROM customer)
+SELECT doc_id, {out} AS redacted FROM t
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (salted-md5 buckets —
+    stable under resharding, the anti-eval-leak property)."""
+    from pie_spark.prep.splits import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_splits(d, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT
+           % 1000000 AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 900000 THEN 'train'
+            WHEN split_bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (per-shard token stream cut
+    into fixed budgets) — one shuffle + one window cumsum."""
+    from pie_spark.prep.packing import pack_concat_chunks
+
+    return pack_concat_chunks(_t(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8)
+
+
+SQL_PACK_CHUNKS = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT
+              % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+  FROM b
+)
+SELECT doc_id, shard, n_tokens, start_token,
+       start_token // 512 AS chunk_id,
+       start_token % 512 AS chunk_offset
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -1090,6 +1188,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # SQL-checked operator surface
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "regex_mentions": (q_regex_mentions, _regex_mentions_sql()),
+    "redact_pii": (q_redact_pii, _redact_pii_sql()),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
     "ssn_validity": (q_ssn_validity, SQL_SSN_VALIDITY),
     "surface_freq": (q_surface_freq, SQL_SURFACE_FREQ),

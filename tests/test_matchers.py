@@ -66,6 +66,24 @@ def test_address_real_world_shapes():
     assert _types("at 5 random words here") == []
 
 
+def test_ssn_valid_regex_equals_predicate():
+    """SSN_VALID_RE (the lookahead-free mirror used by the DuckDB
+    redaction oracle) must accept exactly what _ssn_valid accepts."""
+    import re
+
+    from pie_spark.extract.matchers import SSN_VALID_RE, _ssn_valid
+
+    rx = re.compile(f"^{SSN_VALID_RE[2:-2]}$")  # strip the \b anchors
+    areas = [0, 1, 9, 99, 100, 599, 600, 665, 666, 667, 699, 700, 899, 900, 987, 999]
+    groups = [0, 1, 9, 10, 99]
+    serials = [0, 1, 9, 10, 999, 1000, 9999]
+    for a in areas:
+        for g in groups:
+            for s in serials:
+                ssn = f"{a:03d}-{g:02d}-{s:04d}"
+                assert bool(rx.match(ssn)) == _ssn_valid(ssn), ssn
+
+
 def test_multiple_types_one_pass():
     got = _types("a.b@example2.com then 523-45-6789 then 99 Oak Ave")
     assert got == [

@@ -1,0 +1,106 @@
+"""Training-data prep operators: redaction splicing, deterministic
+splits, concat-and-chunk packing (SURVEY.md §2.12 r02 additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def _spans(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "span_idx", "offset", "text"])
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows, ["doc_id", "span_idx", "start", "end", "mention_type"]
+    )
+
+
+def test_redact_splicing(spark):
+    from pie_spark.extract.redact import redact_spans
+
+    spans = _spans(spark, [
+        ("d1", 0, 0, "mail a.b@x.com and ssn 523-45-6789 end"),
+        ("d1", 1, 0, "no mentions here"),
+        ("d2", 0, 0, None),
+    ])
+    mentions = _mentions(spark, [
+        ("d1", 0, 5, 14, "EMAIL"),
+        ("d1", 0, 23, 34, "SSN"),
+    ])
+    got = {(r.doc_id, r.span_idx): r.redacted for r in redact_spans(spans, mentions).collect()}
+    assert got[("d1", 0)] == "mail [EMAIL] and ssn [SSN] end"
+    assert got[("d1", 1)] == "no mentions here"
+    assert got[("d2", 0)] is None
+
+
+def test_redact_adjacent_and_full_span(spark):
+    from pie_spark.extract.redact import redact_spans
+
+    spans = _spans(spark, [("d", 0, 0, "abcdef")])
+    mentions = _mentions(spark, [("d", 0, 0, 3, "A"), ("d", 0, 3, 6, "B")])
+    [r] = redact_spans(spans, mentions).collect()
+    assert r.redacted == "[A][B]"
+
+
+def test_redact_overlap_guard(spark):
+    """A malformed (overlapping) mention list degrades gracefully —
+    offsets never go negative, later text is preserved."""
+    from pie_spark.extract.redact import redact_spans
+
+    spans = _spans(spark, [("d", 0, 0, "0123456789")])
+    mentions = _mentions(spark, [("d", 0, 2, 6, "A"), ("d", 0, 4, 8, "B")])
+    [r] = redact_spans(spans, mentions).collect()
+    assert r.redacted == "01[A][B]89"
+
+
+def test_split_deterministic_and_partitioning_free(spark):
+    from pie_spark.prep.splits import assign_splits
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    a = {(r.doc_id, r.split) for r in assign_splits(d).collect()}
+    b = {(r.doc_id, r.split) for r in assign_splits(d.repartition(13)).collect()}
+    assert a == b and len(a) == d.count()
+    buckets = [r.split_bucket for r in assign_splits(d).collect()]
+    assert all(0 <= x < 1_000_000 for x in buckets)
+
+
+def test_split_weights_validated(spark):
+    from pie_spark.prep.splits import assign_splits
+
+    d = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="weights"):
+        assign_splits(d, weights={"train": -0.5, "rest": 1.5})
+    # single split: everything lands in it
+    rows = assign_splits(d, weights={"all": 1.0}).collect()
+    assert {r.split for r in rows} == {"all"}
+
+
+def test_pack_chunks_layout(spark):
+    from pie_spark.prep.packing import pack_concat_chunks
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pack_concat_chunks(d, budget_tokens=100, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.start_token == cum, (shard, r)
+            assert r.chunk_id == cum // 100 and r.chunk_offset == cum % 100
+            cum += r.n_tokens
+
+
+def test_pack_chunks_partitioning_free(spark):
+    from pie_spark.prep.packing import pack_concat_chunks
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(map(tuple, pack_concat_chunks(d, 256, 4).collect()))
+    b = sorted(map(tuple, pack_concat_chunks(d.repartition(17), 256, 4).collect()))
+    assert a == b
