@@ -1,0 +1,51 @@
+"""Benchmark decontamination — flag corpus documents that share word
+n-grams with an evaluation/benchmark set, the standard pre-training
+hygiene step (e.g. "remove any document containing a 13-gram from the
+test set").
+
+Scale shape: the benchmark is the SMALL side (thousands of docs) — its
+distinct shingle set is broadcast, so the corpus is scanned once with a
+narrow explode + broadcast semi-join + partial-agg count. No corpus
+self-join, no shuffle of corpus text. md5-free (plain string shingles)
+and fully SQL-expressible → DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pie_spark.dedup.shingles import doc_shingles
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits): corpus docs sharing ≥ min_overlap DISTINCT
+    n-gram shingles with the benchmark's union shingle set."""
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    bench = doc_shingles(benchmark, text_col, n).select("shingle").distinct()
+    hits = doc_shingles(corpus, text_col, n).join(F.broadcast(bench), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))  # shingles are distinct per doc
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus minus contaminated docs (left_anti on the hit set)."""
+    bad = contamination_hits(corpus, benchmark, n, min_overlap, text_col).select("doc_id")
+    return corpus.join(bad, corpus[key_col] == bad["doc_id"], "left_anti")

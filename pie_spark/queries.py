@@ -682,6 +682,31 @@ _DUCK_SHINGLES = (
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing ≥1 word-3-gram with the
+    'benchmark' slice (doc_id ≡ 0 mod 20) are flagged with hit counts."""
+    from pie_spark.prep.decontam import contamination_hits
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_hits(corpus, bench, n=3, min_overlap=1)
+
+
+SQL_DECONTAMINATE = f"""
+WITH bench_base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 20 = 0),
+corp_base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle
+          FROM (SELECT {_DUCK_SHINGLES} AS sh FROM bench_base) _ ),
+corp AS (SELECT doc_id, unnest(sh) AS shingle
+         FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM corp_base) _ )
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corp JOIN bench USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= 1
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.text.analysis import token_counts
 
@@ -1191,6 +1216,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "redact_pii": (q_redact_pii, _redact_pii_sql()),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
     "ssn_validity": (q_ssn_validity, SQL_SSN_VALIDITY),
     "surface_freq": (q_surface_freq, SQL_SURFACE_FREQ),

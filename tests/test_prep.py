@@ -97,6 +97,65 @@ def test_pack_chunks_layout(spark):
             cum += r.n_tokens
 
 
+def test_decontamination_planted(spark):
+    from pie_spark.prep.decontam import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally unrelated words about spark shuffles and joins"),
+            (2, "he said the secret benchmark answer out loud"),          # 2 shared 3-grams
+            (3, "benchmark answer is forty two exactly she whispered"),   # 4 shared
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, n=3).collect()}
+    assert 1 not in hits and hits[2] >= 1 and hits[3] > hits[2]
+    clean = {r.doc_id for r in decontaminate(corpus, bench, n=3).collect()}
+    assert clean == {1}
+    # min_overlap raises the bar
+    strict = {r.doc_id for r in contamination_hits(corpus, bench, n=3, min_overlap=3).collect()}
+    assert strict == {3}
+
+
+def test_redact_matches_python_reference_fuzz(spark):
+    """Property: the native offset-fold equals a plain-Python splice for
+    arbitrary text and sorted non-overlapping mentions."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab @.-x0"
+    spans, mentions, want = [], [], {}
+    for doc in range(40):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        ms, pos = [], 0
+        while pos < len(text) and rng.random() < 0.7:
+            start = rng.randint(pos, len(text) - 1)
+            end = rng.randint(start + 1, len(text))
+            ms.append((start, end, rng.choice(["A", "BB", "EMAIL"])))
+            pos = end
+        out, prev = [], 0
+        for s, e, ty in ms:
+            out.append(text[prev:s])
+            out.append(f"[{ty}]")
+            prev = e
+        out.append(text[prev:])
+        key = f"d{doc}"
+        spans.append((key, 0, 0, text))
+        mentions.extend((key, 0, s, e, ty) for s, e, ty in ms)
+        want[key] = "".join(out)
+
+    from pie_spark.extract.redact import redact_spans
+
+    sdf = _spans(spark, spans)
+    mdf = _mentions(spark, mentions) if mentions else _mentions(spark, [("x", 0, 0, 1, "A")]).limit(0)
+    got = {r.doc_id: r.redacted for r in redact_spans(sdf, mdf).collect()}
+    assert got == want
+
+
 def test_pack_chunks_partitioning_free(spark):
     from pie_spark.prep.packing import pack_concat_chunks
 
