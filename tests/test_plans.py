@@ -100,6 +100,44 @@ def test_linking_top1_is_hash_agg_not_sort(spark, docs_parquet):
     assert "Window" not in plan.split("BroadcastHashJoin")[0]
 
 
+def test_redact_plan_no_python_no_sort(spark):
+    """Redaction is codegen'd string splicing: zero Python stages, no
+    global sort — one hash shuffle for the per-span mention collect."""
+    from pie_spark.extract.redact import redact_spans
+
+    spans = spark.createDataFrame(
+        [("d", 0, 0, "x a@b.co y")], ["doc_id", "span_idx", "offset", "text"]
+    )
+    mentions = spark.createDataFrame(
+        [("d", 0, 2, 8, "EMAIL")], ["doc_id", "span_idx", "start", "end", "mention_type"]
+    )
+    plan = _explain(redact_spans(spans, mentions), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_collect_list" in plan  # map-side partial aggregation
+
+
+def test_pack_chunks_single_shuffle(spark):
+    """Packing = one hash exchange on shard + one window; nothing else
+    moves (AQE may add shuffle-read nodes, not extra exchanges)."""
+    from pie_spark.prep.packing import pack_concat_chunks
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(pack_concat_chunks(d), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan
+
+
+def test_decontam_benchmark_is_broadcast(spark):
+    from pie_spark.prep.decontam import contamination_hits
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter("doc_id % 20 = 0")
+    corpus = d.filter("doc_id % 20 != 0")
+    plan = _explain(contamination_hits(corpus, bench), "simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on the hit count
+
+
 def test_fused_stage_single_python_pass_whole_pipeline(spark, docs_parquet):
     """End-to-end triples plan: exactly one ArrowEvalPython (the fused
     detector) — the only place the pipeline leaves the JVM."""
