@@ -25,7 +25,12 @@ def jaccard_pairs(
     max_df: int = 20,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard ≥ threshold), exact on candidates."""
-    sh = doc_shingles(docs, text_col, n)
+    # checkpoint: the shingle explode feeds THREE consumers (df counts +
+    # both self-join sides) — without it Catalyst inlines the expensive
+    # normalize+transform expression into each, tripling the scan work
+    # (same guard as minhash.candidate_pairs; measured 12s → ~4s at
+    # sf0.01)
+    sh = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
@@ -40,7 +45,7 @@ def jaccard_pairs(
     )
     arrs = docs.select(
         "doc_id", shingle_array(text_col, n).alias("sh")
-    )
+    ).localCheckpoint(eager=True)  # read by both candidate sides
     pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
