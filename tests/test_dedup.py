@@ -76,6 +76,21 @@ def test_simhash_blocking_guarantee_beyond_chunk_count(spark):
     assert pairs_from_chunks(sh, max_hamming=4).count() == 0
 
 
+def test_simhash_low_hamming_edge(spark):
+    """max_hamming 0/1 must not overflow the block key (width capped at
+    32 bits via a 2-block minimum) and must stay exact."""
+    from pie_spark.dedup.simhash import pairs_from_chunks
+
+    sh = spark.createDataFrame(
+        [(1, 5, 6, 7, 8), (2, 5, 6, 7, 8), (3, 4, 6, 7, 8)],  # 3 differs in 1 bit
+        ["doc_id", "h0", "h1", "h2", "h3"],
+    )
+    exact = {(r.doc_a, r.doc_b) for r in pairs_from_chunks(sh, max_hamming=0).collect()}
+    assert exact == {(1, 2)}
+    near = {(r.doc_a, r.doc_b): r.hamming for r in pairs_from_chunks(sh, max_hamming=1).collect()}
+    assert near == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
 def test_simhash_max_hamming_validated(spark):
     import pytest
 
