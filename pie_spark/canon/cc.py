@@ -130,19 +130,22 @@ def adaptive_components(
     design point) it falls back to the salted distributed loop. Both
     paths produce identical (node, component=min-node) labels.
 
-    The probe is a ``limit(N+1).count()`` — a pure aggregate, so an
-    oversized graph ships ONE long to the driver before falling back
-    (never N+1 rows). The collect itself is Arrow-based plain strings,
-    not pyspark Row objects (~10x lighter per edge on the driver heap).
+    The probe and the collect are ONE ``limit(N+1).toArrow()`` job: an
+    oversized graph ships at most one row past the cap before falling
+    back, and the under-cap case never computes the edge lineage twice.
+    Arrow plain strings, not pyspark Row objects (~10x lighter per edge
+    on the driver heap).
 
     ``hot_nodes`` may be a thunk: hot-key detection costs a Spark job
     over the mention set, and salting only matters on the distributed
     path, so callers defer it and the fast path never pays for it.
     """
     if driver_max_edges > 0:
-        slim = edges.select("src", "dst")
-        if slim.limit(driver_max_edges + 1).count() <= driver_max_edges:
-            tbl = slim.toArrow()
+        # ONE job: Arrow-collect at most N+1 rows (plain strings, not Row
+        # objects); > N rows means oversized → distributed path, and only
+        # that one extra row was ever shipped
+        tbl = edges.select("src", "dst").limit(driver_max_edges + 1).toArrow()
+        if tbl.num_rows <= driver_max_edges:
             labels = union_find(
                 list(zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()))
             )

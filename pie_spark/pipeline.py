@@ -45,19 +45,19 @@ def collect_surfaces(dict_df: DataFrame, max_surfaces: int) -> list[str]:
     """Distinct gazetteer surfaces for the in-UDF Aho-Corasick broadcast.
 
     The dictionary is broadcast-small by spec, but an unbounded collect
-    would OOM the driver on a pathological input — so the size is probed
-    first with a ``limit(N+1).count()`` (one long to the driver) and an
-    oversized dictionary fails fast with a clear error. The collect
-    itself is Arrow-based plain strings, not Row objects."""
-    surf = dict_df.select("surface").distinct()
-    if surf.limit(max_surfaces + 1).count() > max_surfaces:
+    would OOM the driver on a pathological input — so the collect is ONE
+    ``limit(N+1).toArrow()`` job (plain strings, not Row objects): an
+    oversized dictionary ships one surface past the cap, fails fast with
+    a clear error, and never runs the distinct shuffle twice."""
+    tbl = dict_df.select("surface").distinct().limit(max_surfaces + 1).toArrow()
+    if tbl.num_rows > max_surfaces:
         raise ValueError(
             f"entity dictionary has more than {max_surfaces} distinct "
             "surfaces — too large for the in-UDF Aho-Corasick broadcast. "
             "Raise PipelineConfig.dict_max_surfaces only if the driver "
             "has heap for it, or pre-filter the dictionary."
         )
-    return surf.toArrow().column("surface").to_pylist()
+    return tbl.column("surface").to_pylist()
 
 
 @dataclass

@@ -24,11 +24,15 @@ def contamination_hits(
     n: int = 3,
     min_overlap: int = 1,
     text_col: str = "text",
+    key_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, n_hits): corpus docs sharing ≥ min_overlap DISTINCT
-    n-gram shingles with the benchmark's union shingle set."""
+    n-gram shingles with the benchmark's union shingle set. ``key_col``
+    names the corpus key column; the output key is always ``doc_id``."""
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
+    if key_col != "doc_id":
+        corpus = corpus.withColumnRenamed(key_col, "doc_id")
     bench = doc_shingles(benchmark, text_col, n).select("shingle").distinct()
     hits = doc_shingles(corpus, text_col, n).join(F.broadcast(bench), "shingle")
     return (
@@ -47,5 +51,9 @@ def decontaminate(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus minus contaminated docs (left_anti on the hit set)."""
-    bad = contamination_hits(corpus, benchmark, n, min_overlap, text_col).select("doc_id")
-    return corpus.join(bad, corpus[key_col] == bad["doc_id"], "left_anti")
+    bad = contamination_hits(
+        corpus, benchmark, n, min_overlap, text_col, key_col
+    ).select(F.col("doc_id").alias("__contaminated_key"))
+    return corpus.join(
+        bad, corpus[key_col] == bad["__contaminated_key"], "left_anti"
+    )

@@ -35,7 +35,12 @@ def pack_concat_chunks(
     if budget_tokens <= 0 or n_shards <= 0:
         raise ValueError("budget_tokens and n_shards must be positive")
     key = F.col(key_col).cast("string")
-    tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # count only non-empty tokens: a bare size(split(...)) charges empty
+    # and multi-space docs phantom tokens, silently shifting every later
+    # start_token in the shard
+    tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).cast("long")
     shard = F.pmod(h64(F.concat(F.lit("pack:"), key)), F.lit(n_shards)).cast("int")
     base = docs.select(
         F.col(key_col).alias("doc_id"), shard.alias("shard"), tok.alias("n_tokens")

@@ -33,9 +33,12 @@ def assign_splits(
     fraction (must sum to ≤ 1; remainder falls into the LAST split).
     Thresholds are cumulative in the given order, so the mapping is
     reproducible from the config alone."""
-    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    if not weights or any(w < 0 for w in weights.values()):
-        raise ValueError(f"invalid split weights: {weights}")
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) > 1 + 1e-9:
+        raise ValueError(
+            f"invalid split weights (each >= 0, sum <= 1): {weights}"
+        )
     bucket = split_bucket(F.col(key_col), salt)
     expr = None
     acc = 0.0

@@ -654,7 +654,7 @@ WITH b AS (
   SELECT doc_id,
          CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT
               % 8 AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 s AS (

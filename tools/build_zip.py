@@ -22,13 +22,30 @@ FIXED_DATE = (2020, 1, 1, 0, 0, 0)  # determinism: content defines the bytes
 
 
 def source_files() -> list[str]:
-    out = []
+    """Git-tracked pie_spark/**/*.py (so stray untracked scratch files
+    never leak into the artifact); filesystem walk as the fallback when
+    git is unavailable."""
+    import subprocess
+
+    try:
+        # --others --exclude-standard: brand-new modules are packed even
+        # before `git add`, while gitignored scratch never leaks in
+        out = subprocess.run(
+            ["git", "ls-files", "--cached", "--others", "--exclude-standard",
+             "pie_spark/*.py", "pie_spark/**/*.py"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        if out:
+            return sorted(set(out))
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    files = []
     for dirpath, dirnames, filenames in os.walk(os.path.join(ROOT, "pie_spark")):
         dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
         for f in sorted(filenames):
             if f.endswith(".py"):
-                out.append(os.path.relpath(os.path.join(dirpath, f), ROOT))
-    return sorted(out)
+                files.append(os.path.relpath(os.path.join(dirpath, f), ROOT))
+    return sorted(files)
 
 
 def build(out: str = OUT) -> list[str]:
