@@ -110,6 +110,9 @@ def main() -> None:
             "span_explode", "email_extract", "surface_freq", "top1_candidate",
             "broadcast_dim_join", "nearest_prev_pair", "canonical_election",
             "triple_dedup", "cc_canonical_map",
+            # r02 additions (superset — r01 keys keep their meaning)
+            "regex_mentions", "redact_pii", "split_assign", "pack_chunks",
+            "decontaminate",
         ]
         qtimes: dict[str, float] = {}
         for name in headline:

@@ -121,6 +121,22 @@ def test_decontamination_planted(spark):
     assert strict == {3}
 
 
+def test_decontamination_custom_key_col(spark):
+    """key_col must flow through hits AND the anti-join (review fix:
+    the anti-join previously compared uid against a hardcoded doc_id)."""
+    from pie_spark.prep.decontam import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame([(9, "shared contaminated phrase here")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [("u1", "the shared contaminated phrase here too"), ("u2", "clean words only")],
+        ["uid", "text"],
+    )
+    hits = {r.doc_id for r in contamination_hits(corpus, bench, key_col="uid").collect()}
+    assert hits == {"u1"}
+    clean = {r.uid for r in decontaminate(corpus, bench, key_col="uid").collect()}
+    assert clean == {"u2"}
+
+
 def test_redact_matches_python_reference_fuzz(spark):
     """Property: the native offset-fold equals a plain-Python splice for
     arbitrary text and sorted non-overlapping mentions."""

@@ -1,0 +1,56 @@
+"""S1/S3 multi-format sources: JSONL round-trip for the nested doc
+table (span invariant preserved), CSV/JSON for the flat dictionary."""
+
+from __future__ import annotations
+
+import pytest
+
+from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+from pie_spark.io.sources import read_dictionary, read_documents
+
+from .conftest import SF_DIR
+
+
+def _doc_set(df):
+    return {
+        (r.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+        for r in df.collect()
+    }
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    docs = interleaved_docs(spark, SF_DIR).limit(50)
+    p = str(tmp_path / "docs_jsonl")
+    docs.write.json(p)
+    back = read_documents(spark, p, fmt="json")
+    # JSON sources force nullable fields; the TYPE structure must match
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    assert _doc_set(back) == _doc_set(docs)
+    # binding invariant survives the format hop
+    from pie_spark.extract.invariants import violations
+    from pie_spark.extract.spans import explode_spans
+
+    assert violations(back, explode_spans(back)) == 0
+
+
+def test_documents_parquet_roundtrip(spark, tmp_path):
+    docs = interleaved_docs(spark, SF_DIR).limit(50)
+    p = str(tmp_path / "docs_parquet")
+    docs.write.parquet(p)
+    assert _doc_set(read_documents(spark, p)) == _doc_set(docs)
+
+
+def test_documents_csv_rejected(spark):
+    with pytest.raises(ValueError, match="CSV cannot represent"):
+        read_documents(spark, "/nonexistent", fmt="csv")
+
+
+def test_dictionary_csv_and_json(spark, tmp_path):
+    d = entity_dict_df(spark)
+    want = {tuple(r) for r in d.collect()}
+    pc = str(tmp_path / "dict_csv")
+    d.write.option("header", "true").csv(pc)
+    assert {tuple(r) for r in read_dictionary(spark, pc, fmt="csv").collect()} == want
+    pj = str(tmp_path / "dict_json")
+    d.write.json(pj)
+    assert {tuple(r) for r in read_dictionary(spark, pj, fmt="json").collect()} == want
