@@ -91,6 +91,38 @@ def test_simhash_low_hamming_edge(spark):
     assert near == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
 
 
+def test_simhash_blocking_exactness_fuzz(spark):
+    """Property: for random 60-live-bit signatures and several distance
+    bars, the blocked join returns EXACTLY the brute-force ≤h pair set
+    (pigeonhole completeness + verify-filter precision)."""
+    import random
+
+    from pie_spark.dedup.simhash import LIVE_BITS, pairs_from_chunks
+
+    rng = random.Random(7)
+    base = rng.getrandbits(LIVE_BITS)
+    vals = [base]
+    for _ in range(39):
+        v = vals[rng.randrange(len(vals))]
+        for _ in range(rng.randrange(0, 12)):  # mutate 0-11 bits
+            v ^= 1 << rng.randrange(LIVE_BITS)
+        vals.append(v)
+    rows = [
+        (i, v & 0xFFFF, (v >> 16) & 0xFFFF, (v >> 32) & 0xFFFF, (v >> 48) & 0xFFFF)
+        for i, v in enumerate(vals)
+    ]
+    sh = spark.createDataFrame(rows, ["doc_id", "h0", "h1", "h2", "h3"])
+    for h in (2, 5, 9):
+        want = {
+            (i, j): bin(vals[i] ^ vals[j]).count("1")
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+            if bin(vals[i] ^ vals[j]).count("1") <= h
+        }
+        got = {(r.doc_a, r.doc_b): r.hamming for r in pairs_from_chunks(sh, max_hamming=h).collect()}
+        assert got == want, f"h={h}"
+
+
 def test_simhash_max_hamming_validated(spark):
     import pytest
 
