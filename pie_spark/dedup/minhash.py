@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pie_spark.dedup.shingles import shingle_array
+from pie_spark.dedup.shingles import doc_shingles
 
 K_PERMS = 16
 BANDS = 4  # → rows per band R = K_PERMS // BANDS = 4
@@ -41,7 +41,7 @@ def signatures(
     perm — recomputes the shingle expression inside every lambda:
     measured 40s vs 2s at sf0.01.)
     """
-    sh = docs.select("doc_id", F.explode(shingle_array(text_col, n)).alias("s"))
+    sh = doc_shingles(docs, text_col, n).withColumnRenamed("shingle", "s")
     hashed = sh.select(
         "doc_id",
         *[

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pie_spark.dedup.shingles import doc_shingles, shingle_array
+from pie_spark.dedup.shingles import doc_shingle_arrays, doc_shingles
 
 
 def jaccard_pairs(
@@ -43,9 +43,9 @@ def jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrs = docs.select(
-        "doc_id", shingle_array(text_col, n).alias("sh")
-    ).localCheckpoint(eager=True)  # read by both candidate sides
+    arrs = doc_shingle_arrays(docs, text_col, n).localCheckpoint(
+        eager=True
+    )  # read by both candidate sides
     pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(

@@ -523,7 +523,8 @@ def q_regex_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus adversarial negatives (bare 9-digit id, invalid-area SSN)."""
     from pie_spark.extract.matchers import regex_matches
 
-    c = _t(spark, sf_dir, "customer")
+    # single-file fixture → repartition so the Arrow UDF parallelizes
+    c = _t(spark, sf_dir, "customer").repartition(32, "c_custkey")
     spans = c.select(
         F.col("c_custkey").cast("string").alias("doc_id"),
         F.lit(0).alias("span_idx"),
@@ -581,7 +582,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.extract.matchers import regex_matches
     from pie_spark.extract.redact import redact_spans
 
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").repartition(32, "c_custkey")
     spans = c.select(
         F.col("c_custkey").cast("string").alias("doc_id"),
         F.lit(0).alias("span_idx"),
@@ -687,7 +688,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     'benchmark' slice (doc_id ≡ 0 mod 20) are flagged with hit counts."""
     from pie_spark.prep.decontam import contamination_hits
 
-    d = _t(spark, sf_dir, "documents")
+    # the fixture table is ONE parquet file → one scan task; repartition
+    # so the shingle pass parallelizes (real corpora have many files)
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     return contamination_hits(corpus, bench, n=3, min_overlap=1)

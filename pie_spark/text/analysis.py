@@ -119,20 +119,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 (exact-dup key) + a
     min-shingle rolling fingerprint (word-``shingle``-gram, md5-min —
-    portable across engines, unlike xxhash)."""
-    t = F.col(text_col)
-    norm = F.trim(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""))
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(shingle)]
-        ),
-    )
-    return docs.select(
+    portable across engines, unlike xxhash).
+
+    Tokenization is bound to its own projection first — a lambda over
+    the raw split expression re-evaluates normalize+split per shingle
+    (the shingles.py performance invariant)."""
+    from pie_spark.dedup.shingles import norm_text, shingles_of
+
+    bound = docs.select(
         "doc_id",
-        F.md5(norm).alias("content_md5"),
-        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("min_shingle_md5"),
+        norm_text(text_col).alias("__norm"),
+        F.split(norm_text(text_col), " ").alias("__toks"),
+    )
+    return bound.select(
+        "doc_id",
+        F.md5("__norm").alias("content_md5"),
+        F.array_min(
+            F.transform(shingles_of(F.col("__toks"), shingle), lambda s: F.md5(s))
+        ).alias("min_shingle_md5"),
     )
