@@ -882,6 +882,30 @@ WHERE round(({agree}) / {K_PERMS}, 6) >= {threshold}
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash pair graph → distributed
+    CC → (doc_id, cluster_rep). Oracle: the minhash-pair SQL feeding a
+    recursive-CTE closure — the whole composition is hash-checked."""
+    from pie_spark.dedup.clusters import near_dup_clusters
+
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _neardup_clusters_sql(threshold: float = 0.5) -> str:
+    pairs = _minhash_neardups_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT CAST(doc_a AS VARCHAR) AS src, CAST(doc_b AS VARCHAR) AS dst FROM pairs),
+und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT u.src AS node, r.r FROM und u JOIN reach r ON r.node = u.dst
+)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.simhash import simhash_chunks
 
@@ -1241,6 +1265,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
+    "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),
     "simhash": (q_simhash, None),        # generated SQL mirrors wired below
     "simhash_neardups": (q_simhash_neardups, None),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -133,6 +133,21 @@ def test_simhash_max_hamming_validated(spark):
         pairs_from_chunks(sh, max_hamming=16)
 
 
+def test_neardup_clusters_transitive(spark, corpus):
+    """A~B and B~C must land in ONE cluster with one rep — pairs alone
+    would keep a copy per pair."""
+    from pie_spark.dedup.clusters import dedup_by_cluster, near_dup_clusters
+
+    got = {r.doc_id: r.cluster_rep for r in near_dup_clusters(corpus, threshold=0.5).collect()}
+    assert got == {"1": "1", "2": "1", "3": "1", "4": "4", "5": "4"}
+    kept = {r.doc_id for r in dedup_by_cluster(corpus, threshold=0.5).collect()}
+    assert kept == {1, 4}
+    # singleton (no near-dup) survives dedup untouched
+    plus = corpus.union(spark.createDataFrame([(9, "a lone unique document")], corpus.schema))
+    kept2 = {r.doc_id for r in dedup_by_cluster(plus, threshold=0.5).collect()}
+    assert kept2 == {1, 4, 9}
+
+
 def test_ngram_jaccard(corpus):
     from pie_spark.dedup.ngram import jaccard_pairs
 
