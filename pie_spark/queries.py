@@ -1226,6 +1226,71 @@ FROM mt WHERE duration_ms IS NOT NULL
 """
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data prep flow as one query: keep docs
+    that are (a) high-quality, (b) English, (c) their near-dup cluster's
+    representative (or singleton), (d) not contaminated by the benchmark
+    slice, (e) in the train split. Every stage is an already
+    hash-checked operator; this pins their COMPOSITION to DuckDB."""
+    from pie_spark.dedup.clusters import near_dup_clusters
+    from pie_spark.prep.decontam import contamination_hits
+    from pie_spark.prep.splits import assign_splits
+    from pie_spark.text.analysis import lang_id, quality_scores
+
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+
+    q = quality_scores(corpus).select("doc_id", "quality_ppm")
+    l = lang_id(corpus).select("doc_id", "lang_guess")
+    s = assign_splits(corpus.select("doc_id"), weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    drop = (
+        near_dup_clusters(corpus, threshold=0.5)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    contam = contamination_hits(corpus, bench, n=3, min_overlap=1).select("doc_id")
+    return (
+        corpus.select("doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(s.select("doc_id", "split"), "doc_id")
+        .filter(
+            (F.col("quality_ppm") >= 600000)
+            & (F.col("lang_guess") == "en")
+            & (F.col("split") == "train")
+        )
+        .join(drop, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "quality_ppm", "lang_guess", "split")
+    )
+
+
+def _training_manifest_sql() -> str:
+    # compose the already-verified per-operator SQL as CTEs, restricted
+    # to the corpus slice (doc_id % 20 <> 0) exactly like the Spark side
+    corp = "(SELECT * FROM documents WHERE doc_id % 20 <> 0)"
+    quality = SQL_QUALITY_SCORES.replace("FROM documents", f"FROM {corp}")
+    lang = _lang_id_sql().replace("FROM documents", f"FROM {corp}")
+    clusters = _neardup_clusters_sql(threshold=0.5).replace("FROM documents", f"FROM {corp}")
+    splits = SQL_SPLIT_ASSIGN.replace("FROM documents", f"FROM {corp}")
+    return f"""
+WITH q AS ({quality}),
+l AS ({lang}),
+s AS ({splits}),
+cl AS ({clusters}),
+dc AS ({SQL_DECONTAMINATE})
+SELECT q.doc_id, q.quality_ppm, l.lang_guess, s.split
+FROM q
+JOIN l USING (doc_id)
+JOIN s USING (doc_id)
+WHERE q.quality_ppm >= 600000 AND l.lang_guess = 'en' AND s.split = 'train'
+  AND NOT EXISTS (SELECT 1 FROM cl WHERE CAST(cl.doc_id AS BIGINT) = q.doc_id
+                  AND cl.doc_id <> cl.cluster_rep)
+  AND NOT EXISTS (SELECT 1 FROM dc WHERE dc.doc_id = q.doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1244,6 +1309,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "training_manifest": (q_training_manifest, _training_manifest_sql()),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
     "ssn_validity": (q_ssn_validity, SQL_SSN_VALIDITY),
     "surface_freq": (q_surface_freq, SQL_SURFACE_FREQ),
