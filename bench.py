@@ -112,7 +112,8 @@ def main() -> None:
             "triple_dedup", "cc_canonical_map",
             # r02 additions (superset — r01 keys keep their meaning)
             "regex_mentions", "redact_pii", "split_assign", "pack_chunks",
-            "decontaminate",
+            "decontaminate", "minhash_neardups", "neardup_clusters",
+            "training_manifest",
         ]
         qtimes: dict[str, float] = {}
         for name in headline:

@@ -27,6 +27,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id") -> DataFrame:
+    """Fixture table repartitioned 32-way: each fixture is ONE parquet
+    file → one scan task, which serializes any heavy narrow stage above
+    it (UDFs, shingling, hashing). Real corpora arrive as many files;
+    the repartition stands in for that layout."""
+    return _t(spark, sf_dir, name).repartition(32, key)
+
+
 # ---------------------------------------------------------------------------
 # pipeline (rows-only: Arrow-UDF extraction + iterative CC not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -799,7 +807,7 @@ FROM t
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.text.analysis import fingerprints
 
-    return fingerprints(_t(spark, sf_dir, "documents"))
+    return fingerprints(_tp(spark, sf_dir, "documents"))
 
 
 SQL_FINGERPRINTS = f"""
@@ -813,7 +821,7 @@ FROM t
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.exact import duplicate_groups
 
-    return duplicate_groups(_t(spark, sf_dir, "documents"))
+    return duplicate_groups(_tp(spark, sf_dir, "documents"))
 
 
 SQL_EXACT_DEDUP = f"""
@@ -825,7 +833,7 @@ FROM documents GROUP BY 1
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.minhash import K_PERMS, signatures
 
-    sig = signatures(_t(spark, sf_dir, "documents"))
+    sig = signatures(_tp(spark, sf_dir, "documents"))
     return sig.select(
         "doc_id", *[sig["sig"][p].alias(f"h{p}") for p in range(K_PERMS)]
     )
@@ -850,7 +858,7 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a generated lockstep mirror of bands, guard, and est-Jaccard)."""
     from pie_spark.dedup.minhash import near_duplicates
 
-    return near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return near_duplicates(_tp(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _minhash_neardups_sql(threshold: float = 0.5, max_bucket: int = 50) -> str:
@@ -888,7 +896,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE closure — the whole composition is hash-checked."""
     from pie_spark.dedup.clusters import near_dup_clusters
 
-    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return near_dup_clusters(_tp(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _neardup_clusters_sql(threshold: float = 0.5) -> str:
@@ -909,7 +917,7 @@ SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.simhash import simhash_chunks
 
-    return simhash_chunks(_t(spark, sf_dir, "documents"))
+    return simhash_chunks(_tp(spark, sf_dir, "documents"))
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,13 +925,13 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys and bit arithmetic are mirrored by generated DuckDB SQL)."""
     from pie_spark.dedup.simhash import near_duplicate_pairs
 
-    return near_duplicate_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return near_duplicate_pairs(_tp(spark, sf_dir, "documents"), max_hamming=6)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.ngram import jaccard_pairs
 
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return jaccard_pairs(_tp(spark, sf_dir, "documents"), threshold=0.4)
 
 
 SQL_NGRAM_JACCARD = f"""
