@@ -38,6 +38,34 @@ def near_dup_clusters(
     )
 
 
+def cosine_near_dup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    max_bucket: int = 200,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Embedding-space analog: cosine near-dup pair graph (multi-table
+    hyperplane LSH) → CC → (vec_id, cluster_rep). Same pair-sized graph
+    property; reps are string-min ids."""
+    from pie_spark.dedup.embedding import cosine_near_duplicates
+
+    pairs = cosine_near_duplicates(
+        embeddings, threshold=threshold, nbits=nbits,
+        n_tables=n_tables, dim=dim, max_bucket=max_bucket,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges, max_iters=max_iters)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_rep")
+    )
+
+
 def dedup_by_cluster(
     docs: DataFrame,
     text_col: str = "text",

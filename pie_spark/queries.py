@@ -1072,6 +1072,28 @@ FROM scored QUALIFY rank <= {k}
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding near-dup clusters: cosine pair graph → CC."""
+    from pie_spark.dedup.clusters import cosine_near_dup_clusters
+
+    return cosine_near_dup_clusters(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _embedding_clusters_sql(threshold: float = 0.3) -> str:
+    pairs = _embedding_neardups_sql(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pairs),
+und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT u.src AS node, r.r FROM und u JOIN reach r ON r.node = u.dst
+)
+SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
 def _ann_queries(spark: SparkSession, sf_dir: str):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -1344,6 +1366,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_neardups": (q_simhash_neardups, None),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_neardups": (q_embedding_neardups, _embedding_neardups_sql()),
+    "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE_FORCE),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),

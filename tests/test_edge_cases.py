@@ -59,6 +59,33 @@ def test_doc_with_no_mentions_emits_nothing(spark):
     res.unpersist()
 
 
+def test_giant_document(spark):
+    """One pathological document: hundreds of spans, one very long span,
+    dense PII — exercises the merge windows, the batched-Viterbi cell
+    budget, and pairing on a single skewed doc_id partition."""
+    spans = []
+    off = 0
+    for i in range(300):
+        # a linked PERSON before each email so the nearest-preceding
+        # pairing rule emits (person, HAS_EMAIL, email)
+        t = f"chunk {i} Alice Abernathy reach mei.bergstrom@example{i % 10}.com now"
+        spans.append({"kind": "text", "text": t, "media_ref": None, "offset": off})
+        off += len(t) + 1
+    long_text = ("filler word " * 3000) + "ssn 523-45-6789 tail"
+    spans.append({"kind": "text", "text": long_text, "media_ref": None, "offset": off})
+    docs = _docs(spark, [("giant", spans)])
+    res = run(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    triples = res.triples.collect()
+    emails = {r.obj for r in triples if r.pred == "HAS_EMAIL"}
+    assert len(emails) == 10  # distinct planted email values
+    assert any(r.pred == "HAS_SSN" and r.obj == "523-45-6789" for r in triples)
+    # span invariant still holds on the giant doc
+    from pie_spark.extract.invariants import violations
+
+    assert violations(res.docs, res.spans) == 0
+    res.unpersist()
+
+
 def test_oversized_dictionary_fails_fast(spark):
     """The gazetteer collect is size-probed: past dict_max_surfaces it
     raises instead of OOMing the driver (VERDICT r01 wrong#5)."""
