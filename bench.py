@@ -77,6 +77,68 @@ def _time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _cpu_stat() -> list[int]:
+    """Aggregate /proc/stat cpu counters (user nice system idle iowait
+    irq softirq steal ...) — hypervisor steal is field 8."""
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float:
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d)
+    return 100.0 * d[7] / total if total and len(d) > 7 else 0.0
+
+
+def bench_skew(spark, sf_dir: str) -> dict:
+    """Dedup-family skew evidence (VERDICT r02 #7): plant a 10k-doc
+    boilerplate cluster (7 variants → ~1.4k docs per near-identical
+    group) on top of the organic documents table and show the
+    max_bucket guard keeps minhash/simhash near-dup candidate
+    generation bounded — with dropped-bucket transparency counts
+    instead of a silent quadratic blowup."""
+    from pyspark.sql import functions as F
+
+    from pie_spark.dedup import minhash, simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    boiler = spark.range(10_000).select(
+        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit(
+                "standard terms of service boilerplate the user agrees to "
+                "all conditions set forth by the provider clause "
+            ),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(boiler).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    sigs = minhash.signatures(corpus).localCheckpoint(eager=True)
+    st = minhash.bucket_stats(sigs).collect()[0]
+    mh_pairs = minhash.near_duplicates(corpus, threshold=0.5).count()
+    mh_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sh_pairs = simhash.near_duplicate_pairs(
+        corpus, max_hamming=3, max_bucket=200
+    ).count()
+    sh_wall = time.perf_counter() - t0
+    corpus.unpersist()
+    return {
+        "docs_total": 15_000,
+        "docs_planted": 10_000,
+        "minhash_wall_sec": round(mh_wall, 3),
+        "minhash_pairs": mh_pairs,
+        "minhash_buckets": st["n_buckets"],
+        "minhash_dropped_buckets": st["n_dropped_buckets"],
+        "minhash_docs_in_dropped": st["n_docs_in_dropped"],
+        "simhash_wall_sec": round(sh_wall, 3),
+        "simhash_pairs": sh_pairs,
+    }
+
+
 def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = SCALING_RUNS):
     spark = _mk_session(cores, f"pie-bench-{cores}")
     try:
@@ -100,10 +162,32 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="pie_bench_")
     docs_path = os.path.join(tmp, "interleaved_docs.parquet")
     try:
-        spark = _mk_session(cores, "pie-bench-main")
+        spark = _mk_session(cores, "pie-bench-gen")
         n_docs = _materialize_corpus(spark, sf_dir, docs_path, mult=mult)
+        spark.stop()
 
-        # headline operator queries (one timed run each, after a tiny warmup)
+        # flagship pipeline FIRST, in its own fresh JVM: r02 ran 17
+        # headline queries (incl. two localCheckpoint-heavy CC loops) in
+        # the same JVM before the pipeline medians, so heap/GC pressure
+        # from the prelude leaked into the number of record (the r01→r02
+        # drift VERDICT flagged). Hypervisor steal% is sampled around
+        # each run so rounds are comparable across the box's documented
+        # steal band.
+        spark = _mk_session(cores, "pie-bench-pipeline")
+        _run_pipeline(spark, docs_path)  # warmup (JIT, codegen, Arrow init)
+        timed = []
+        for _ in range(N_RUNS):
+            s0 = _cpu_stat()
+            wall, _n = _run_pipeline(spark, docs_path)
+            timed.append((wall, _steal_pct(s0, _cpu_stat())))
+        spark.stop()
+        timed.sort()
+        walls = [w for w, _ in timed]
+        med = walls[N_RUNS // 2]
+        steal_runs = [round(s, 2) for _, s in timed]
+
+        # headline operator queries in a separate session (one timed run
+        # each) — their JVM state can no longer contaminate the pipeline
         from pie_spark.queries import QUERIES
 
         headline = [
@@ -115,16 +199,14 @@ def main() -> None:
             "decontaminate", "minhash_neardups", "neardup_clusters",
             "training_manifest",
         ]
+        spark = _mk_session(cores, "pie-bench-queries")
+        _time_query(QUERIES["span_explode"][0], spark, sf_dir)  # JVM warmup, untimed
         qtimes: dict[str, float] = {}
         for name in headline:
             fn, _ = QUERIES[name]
             qtimes[name] = round(_time_query(fn, spark, sf_dir), 3)
-
-        # flagship pipeline: warmup + median of N_RUNS
-        _run_pipeline(spark, docs_path)
-        walls = sorted(_run_pipeline(spark, docs_path)[0] for _ in range(N_RUNS))
-        med = walls[len(walls) // 2]
         qtimes["pipeline"] = round(med, 3)
+        skew = bench_skew(spark, sf_dir)
         spark.stop()
 
         out = {
@@ -138,6 +220,8 @@ def main() -> None:
             "docs_per_sec": round(n_docs / med, 1),
             "cores": cores,
             "runs": [round(w, 3) for w in walls],
+            "steal_pct_runs": steal_runs,
+            "skew": skew,
         }
 
         if os.environ.get("PIE_BENCH_SCALING") == "1":

@@ -11,11 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pie_spark.dedup.shingles import norm_text
+
 
 def _content_key(text_col: str) -> F.Column:
-    return F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""))
-    )
+    # shared Unicode-aware normalizer (raw-text fallback when the
+    # normalized form is empty — two distinct emoji-only docs must NOT
+    # collapse to one key; see shingles.norm_text)
+    return F.md5(norm_text(text_col))
 
 
 def duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:

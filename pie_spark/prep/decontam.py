@@ -32,7 +32,12 @@ def contamination_hits(
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
     if key_col != "doc_id":
-        corpus = corpus.withColumnRenamed(key_col, "doc_id")
+        # select/alias into a fresh frame — withColumnRenamed would leave
+        # TWO doc_id columns when the corpus already has one alongside the
+        # custom key, making the groupBy below ambiguous (ADVICE r02)
+        corpus = corpus.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col)
+        )
     bench = doc_shingles(benchmark, text_col, n).select("shingle").distinct()
     hits = doc_shingles(corpus, text_col, n).join(F.broadcast(bench), "shingle")
     return (

@@ -62,7 +62,13 @@ def q_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed CC canonicalization map (iterative — rows-only)."""
+    """Distributed CC canonicalization map over the dictionary graph.
+
+    Hash-checked from r03: the dictionary is closed-form deterministic
+    (fixtures/gazetteer.py), so the oracle inlines its distinct
+    (norm_key, entity_id) pairs as a VALUES literal — same precedent as
+    the embedding oracle's inlined hyperplanes — and replays the
+    bipartite closure as a DuckDB recursive CTE."""
     from pie_spark.canon.canonical import key_canonical_map
     from pie_spark.canon.cc import connected_components
     from pie_spark.canon.edges import build_edges
@@ -70,6 +76,38 @@ def q_cc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = connected_components(build_edges(entity_dict_df(spark)))
     return key_canonical_map(labels).select("norm_key", "canon_entity_id")
+
+
+def _cc_canonical_map_sql() -> str:
+    """DuckDB mirror of q_cc_canonical_map: recursive-CTE transitive
+    closure over the SAME bipartite k:<norm_key> — e:<entity_id> graph,
+    component = min node (string order), canonical entity = min
+    entity_id among the component's entity nodes."""
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+
+    pairs = sorted({(e.norm_key, e.entity_id) for e in dictionary_entries()})
+    values = ",\n".join(
+        "('" + k.replace("'", "''") + "', '" + eid.replace("'", "''") + "')"
+        for k, eid in pairs
+    )
+    return f"""
+WITH RECURSIVE dict(norm_key, entity_id) AS (VALUES {values}),
+edges AS (SELECT DISTINCT 'k:' || norm_key AS src, 'e:' || entity_id AS dst FROM dict),
+und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+  SELECT src AS node, src AS r FROM und
+  UNION
+  SELECT u.src AS node, r.r FROM und u JOIN reach r ON r.node = u.dst
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+canon AS (
+  SELECT component, min(substr(node, 3)) AS canon_entity_id
+  FROM comp WHERE node LIKE 'e:%' GROUP BY component
+)
+SELECT substr(c.node, 3) AS norm_key, canon.canon_entity_id
+FROM comp c JOIN canon USING (component)
+WHERE c.node LIKE 'k:%'
+"""
 
 
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,14 +705,17 @@ WITH b AS (
   FROM documents
 ),
 s AS (
+  -- CAST to BIGINT: DuckDB's windowed sum(BIGINT) yields HUGEINT, which
+  -- pandas renders float64 and the driver's value-hash sees 1500.0 vs
+  -- 1500 (the one red cell in CORRECTNESS_r02)
   SELECT doc_id, shard, n_tokens,
-         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
   FROM b
 )
 SELECT doc_id, shard, n_tokens, start_token,
-       start_token // 512 AS chunk_id,
-       start_token % 512 AS chunk_offset
+       CAST(start_token // 512 AS BIGINT) AS chunk_id,
+       CAST(start_token % 512 AS BIGINT) AS chunk_offset
 FROM s
 """
 
@@ -683,7 +724,13 @@ FROM s
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
-_DUCK_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+# lockstep mirror of pie_spark.dedup.shingles.norm_text: Unicode
+# letter/number classes (RE2 == Java regex here, parity-verified) with
+# raw-text fallback when normalization yields ''
+_DUCK_NORM = (
+    "coalesce(nullif(trim(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N} ]', '', 'g')), ''), text)"
+)
 _DUCK_TOKS = f"string_split({_DUCK_NORM}, ' ')"
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(greatest(len(toks)-3,0)+1), "
@@ -753,7 +800,7 @@ WITH t AS (
          length(text) AS n_chars_m,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}} ]', '', 'g')) AS punct,
          {_hits_sql('the')} + {_hits_sql('and')} + {_hits_sql('of')} + {_hits_sql('a')} AS stop_hits
   FROM documents
 ), p AS (
@@ -781,8 +828,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _script_cnt_sql(cls: str) -> str:
+    # RE2 spells scripts \p{X} (vs Java's \p{IsX}) — same property
+    return f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+
+
 def _lang_id_sql() -> str:
-    from pie_spark.text.analysis import LANG_STOPWORDS
+    from pie_spark.text.analysis import KANA_RE2, LANG_STOPWORDS, LATIN_RE2, SCRIPT_LANGS
 
     hit_exprs = {
         lang: " + ".join(_hits_sql(w) for w in words)
@@ -791,16 +843,33 @@ def _lang_id_sql() -> str:
     cols = ", ".join(
         f"CAST({e} AS BIGINT) AS hits_{lang}" for lang, e in hit_exprs.items()
     )
-    # argmax with asc-lang tiebreak — mirror Spark's sort-by-(neg_hits,
-    # lang)-take-first pick exactly
+    script_cols = ", ".join(
+        f"{_script_cnt_sql(re2)} AS sc_{lang}" for lang, _j, re2, _r in SCRIPT_LANGS
+    )
+    # stopword argmax with asc-lang tiebreak — mirror Spark's
+    # sort-by-(neg_hits, lang)-take-first pick exactly
     structs = ", ".join(
         f"{{'neg_hits': -hits_{lang}, 'lang': '{lang}'}}" for lang in hit_exprs
     )
+    # dominant-script argmax (neg count, rank, lang) with Latin at rank 0
+    # carrying the stopword guess — lockstep with analysis.lang_id
+    script_structs = ", ".join(
+        [f"{{'neg': -sc_latin, 'rank': 0, 'lang': stop_guess}}"]
+        + [
+            f"{{'neg': -sc_{lang}, 'rank': {rank}, 'lang': '{lang}'}}"
+            for lang, _j, _re2, rank in SCRIPT_LANGS
+        ]
+    )
     return f"""
-WITH t AS (SELECT doc_id, {cols} FROM documents)
+WITH t AS (SELECT doc_id, {cols}, {script_cols},
+                  {_script_cnt_sql(KANA_RE2)} AS sc_kana,
+                  {_script_cnt_sql(LATIN_RE2)} AS sc_latin
+           FROM documents),
+g AS (SELECT *, list_sort([{structs}])[1].lang AS stop_guess FROM t)
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in hit_exprs)},
-       list_sort([{structs}])[1].lang AS lang_guess
-FROM t
+       CASE WHEN sc_kana > 0 THEN 'ja'
+            ELSE list_sort([{script_structs}])[1].lang END AS lang_guess
+FROM g
 """
 
 
@@ -1329,7 +1398,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # pipeline (rows-only)
     "pipeline_triples": (q_pipeline_triples, None),
     "pipeline_mentions": (q_pipeline_mentions, None),
-    "cc_canonical_map": (q_cc_canonical_map, None),
+    "cc_canonical_map": (q_cc_canonical_map, _cc_canonical_map_sql()),
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),
     # SQL-checked operator surface

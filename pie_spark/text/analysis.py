@@ -20,6 +20,31 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "et", "les"],
 }
 
+# Unicode-script tier for non-Latin languages: (lang, java_class,
+# re2_class, rank). Java spells scripts \p{IsX}, RE2 \p{X} — same
+# Unicode script property underneath (parity-tested in
+# tests/test_multilingual.py). Rank fixes the argmax tiebreak order
+# (Latin/stopword tier is rank 0 so an all-zero doc falls through to
+# the stopword guess, preserving r02 behavior on ASCII corpora).
+SCRIPT_LANGS = [
+    ("ko", r"[\p{IsHangul}]", r"[\p{Hangul}]", 1),
+    ("zh", r"[\p{IsHan}]", r"[\p{Han}]", 2),
+    ("ru", r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]", 3),
+    ("ar", r"[\p{IsArabic}]", r"[\p{Arabic}]", 4),
+    ("el", r"[\p{IsGreek}]", r"[\p{Greek}]", 5),
+    ("hi", r"[\p{IsDevanagari}]", r"[\p{Devanagari}]", 6),
+]
+KANA_JAVA = r"[\p{IsHiragana}\p{IsKatakana}]"
+KANA_RE2 = r"[\p{Hiragana}\p{Katakana}]"
+LATIN_JAVA = r"[\p{IsLatin}]"
+LATIN_RE2 = r"[\p{Latin}]"
+
+
+def _script_count(text: Column, cls: str) -> Column:
+    """# characters of a Unicode script class, via the length-diff trick
+    (regexp_replace-delete then subtract — no per-char UDF)."""
+    return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
 
 def _word_hits(text: Column, word: str) -> Column:
     """# occurrences of ``word`` as a whitespace-delimited token, via the
@@ -60,7 +85,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(t, " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    # Unicode classes (r03): the r02 [^a-zA-Z0-9 ] counted every CJK /
+    # Cyrillic char as "punctuation" → quality 0 for all non-Latin docs
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N} ]", ""))
     stop_hits = sum(_word_hits(t, w) for w in LANG_STOPWORDS["en"])
 
     def ppm(num, den):
@@ -87,15 +114,34 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """n-gram/stopword language-ID heuristic: per-language stopword hit
-    counts, argmax guess with deterministic tiebreak (hit count desc,
-    language code asc)."""
+    """Two-tier language-ID heuristic, all native expressions:
+
+    1. **Script tier** (new r03 — the r02 stopword-only version tagged
+       every CJK/Cyrillic/Arabic doc 'de' via the zero-hit tiebreak):
+       any kana ⇒ 'ja' (kana is conclusive; Japanese text usually has
+       MORE Han than kana, so a pure count-argmax would mislabel it
+       'zh'). Otherwise the doc's dominant script — argmax over
+       per-script char counts including Latin — picks ko/zh/ru/ar/el/hi.
+    2. **Stopword tier**: when Latin dominates (or nothing matched),
+       the r02 stopword argmax over en/es/de/fr with (hits desc,
+       lang asc) tiebreak — bit-identical to r02 on ASCII corpora.
+    """
     t = F.col(text_col)
     hit_cols = {
         lang: sum(_word_hits(t, w) for w in words).alias(f"hits_{lang}")
         for lang, words in LANG_STOPWORDS.items()
     }
-    scored = docs.select("doc_id", *hit_cols.values())
+    script_cols = {
+        lang: _script_count(t, cls).alias(f"sc_{lang}")
+        for lang, cls, _re2, _rank in SCRIPT_LANGS
+    }
+    scored = docs.select(
+        "doc_id",
+        *hit_cols.values(),
+        *script_cols.values(),
+        _script_count(t, KANA_JAVA).alias("sc_kana"),
+        _script_count(t, LATIN_JAVA).alias("sc_latin"),
+    )
     pairs = F.array(
         *[
             F.struct(
@@ -105,14 +151,33 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for lang in LANG_STOPWORDS
         ]
     )
-    # argmax with asc-lang tiebreak: sort (neg_hits, lang) ascending and
-    # take the FIRST element — highest hits, then lexicographically
-    # smallest language code (mirrored 1:1 by the generated oracle SQL)
-    best = F.array_sort(pairs).getItem(0)
+    # stopword argmax with asc-lang tiebreak: sort (neg_hits, lang)
+    # ascending, take FIRST (mirrored 1:1 by the generated oracle SQL)
+    stop_guess = F.array_sort(pairs).getItem(0)["lang"]
+    # dominant-script argmax: (neg_count, rank, lang); Latin is rank 0
+    # so count ties fall through to the stopword guess
+    script_pairs = F.array(
+        F.struct(
+            (-F.col("sc_latin")).alias("neg"),
+            F.lit(0).alias("rank"),
+            stop_guess.alias("lang"),
+        ),
+        *[
+            F.struct(
+                (-F.col(f"sc_{lang}")).alias("neg"),
+                F.lit(rank).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, _cls, _re2, rank in SCRIPT_LANGS
+        ],
+    )
+    guess = F.when(F.col("sc_kana") > 0, F.lit("ja")).otherwise(
+        F.array_sort(script_pairs).getItem(0)["lang"]
+    )
     return scored.select(
         "doc_id",
         *[F.col(f"hits_{lang}").cast("long") for lang in LANG_STOPWORDS],
-        best["lang"].alias("lang_guess"),
+        guess.alias("lang_guess"),
     )
 
 

@@ -108,3 +108,66 @@ def test_output_snapshot_lineage_and_buckets(spark, tmp_path):
     assert lin.filter(F.col("docs_in") <= 0).count() == 0
     assert lin.filter(F.col("input_snapshot") != "sf0.001").count() == 0
     r.result.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# prep-flow resume (VERDICT r02 #8): training_manifest through the
+# stage-checkpointed prep runner — byte-identical after interrupt+resume
+# ---------------------------------------------------------------------------
+
+
+def _manifest_hash(df):
+    return (
+        df.select(
+            F.md5(
+                F.concat_ws("\x00", "doc_id", "quality_ppm", "lang_guess", "split")
+            ).alias("h")
+        )
+        .agg(F.sum(F.conv(F.substring("h", 1, 12), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+
+
+def test_prep_resume_byte_identical(spark, tmp_path, monkeypatch):
+    from pie_spark.prep import decontam
+    from pie_spark.prep.runner import PrepConfig, run_prep_checkpointed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    # ground truth: single-shot run, no checkpointing
+    base = run_prep_checkpointed(spark, corpus, bench, PrepConfig())
+    assert base.resumed_stages == [] and base.manifest_snapshot is None
+    h0 = _manifest_hash(base.manifest)
+    n0 = base.manifest.count()
+    assert n0 > 0
+
+    # interrupted run: crash mid-flight AFTER scores+drop are committed
+    ckpt_dir = str(tmp_path / "prep_ckpt")
+    real = decontam.contamination_hits
+    monkeypatch.setattr(
+        decontam, "contamination_hits",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_prep_checkpointed(
+            spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
+        )
+    monkeypatch.setattr(decontam, "contamination_hits", real)
+
+    # the crash left scores+drop snapshots behind; manifest must resume
+    # from them, recompute only contam, and match the single-shot bytes
+    r2 = run_prep_checkpointed(
+        spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
+    )
+    assert r2.resumed_stages == ["scores", "drop"]
+    assert _manifest_hash(r2.manifest) == h0
+    assert r2.manifest.count() == n0
+
+    # a third run resumes every stage and still matches
+    r3 = run_prep_checkpointed(
+        spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
+    )
+    assert r3.resumed_stages == ["scores", "drop", "contam"]
+    assert _manifest_hash(r3.manifest) == h0

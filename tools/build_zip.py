@@ -22,19 +22,21 @@ FIXED_DATE = (2020, 1, 1, 0, 0, 0)  # determinism: content defines the bytes
 
 
 def source_files() -> list[str]:
-    """Git-tracked pie_spark/**/*.py (so stray untracked scratch files
-    never leak into the artifact); filesystem walk as the fallback when
-    git is unavailable."""
+    """pie_spark/**/*.py from git's view of the tree: tracked files plus
+    untracked-but-not-gitignored ones (brand-new modules are packed even
+    before `git add`; only GITIGNORED scratch is excluded). Entries
+    deleted from the worktree but still in the index are skipped —
+    `--cached` lists them, and opening one would crash the build.
+    Filesystem walk as the fallback when git is unavailable."""
     import subprocess
 
     try:
-        # --others --exclude-standard: brand-new modules are packed even
-        # before `git add`, while gitignored scratch never leaks in
         out = subprocess.run(
             ["git", "ls-files", "--cached", "--others", "--exclude-standard",
              "pie_spark/*.py", "pie_spark/**/*.py"],
             cwd=ROOT, capture_output=True, text=True, check=True,
         ).stdout.split()
+        out = [p for p in out if os.path.exists(os.path.join(ROOT, p))]
         if out:
             return sorted(set(out))
     except (OSError, subprocess.CalledProcessError):
