@@ -73,3 +73,31 @@ def test_golden_triples_shape(spark):
         "HAS_MEDIA", "MENTIONS", "HAS_EMAIL", "HAS_SSN", "HAS_PHONE", "HAS_ADDRESS",
     }
     assert gt.count() > 1000
+
+
+def test_multilingual_slice_in_generator(spark):
+    """VERDICT r02 #6: the synthesized corpus carries a non-ASCII slice —
+    ~5% sprinkled + ~2% dominant-script docs — and lang_id's script tier
+    tags the dominant-script docs non-'en' deterministically."""
+    from pie_spark.fixtures.gen import interleaved_docs
+    from pie_spark.text.analysis import lang_id
+    from pyspark.sql import functions as F
+
+    docs = interleaved_docs(spark, SF_DIR)
+    flat = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("spans", lambda s: F.coalesce(s["text"], F.lit("")))
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    n = flat.count()
+    non_ascii = flat.filter(F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert 0.02 * n < non_ascii < 0.25 * n, (n, non_ascii)
+
+    guesses = {
+        r["lang_guess"]
+        for r in lang_id(flat).select("lang_guess").distinct().collect()
+    }
+    # dominant-script docs must surface non-Latin guesses
+    assert {"ja", "zh", "ru", "ko", "ar"} & guesses, guesses
+    assert "en" in guesses
