@@ -887,6 +887,80 @@ FROM t
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage-level dedup map (C4-style sub-document
+    dedup); fixtures have no line structure, so 3-word blocks stand in
+    for lines (the operator's delimiter mode is tested in
+    tests/test_passages.py)."""
+    from pie_spark.dedup.passages import passage_dedup_map
+
+    return passage_dedup_map(_tp(spark, sf_dir, "documents"), block_words=3)
+
+
+SQL_PASSAGE_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(CAST(ceil(len(toks) / 3.0) AS INT), 1))) AS i
+  FROM t
+),
+seg AS (
+  SELECT doc_id, CAST(i AS INT) AS passage_idx,
+         array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ') AS passage
+  FROM seg0
+),
+p AS (SELECT doc_id, passage_idx, md5(passage) AS passage_md5,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(passage_idx AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS occ
+      FROM seg WHERE passage <> ''),
+f AS (SELECT passage_md5, min(occ) AS first_occ FROM p GROUP BY 1)
+SELECT doc_id, passage_idx, passage_md5, occ <> first_occ AS is_dup
+FROM p JOIN f USING (passage_md5)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus vocabulary with tf+df (k < fixture vocab size so
+    the deterministic (tf desc, token asc) cut actually bites)."""
+    from pie_spark.text.vocab import vocab_topk
+
+    return vocab_topk(_tp(spark, sf_dir, "documents"), k=25)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT token, doc_id, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1, 2),
+v AS (SELECT token, CAST(sum(n) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+      FROM f GROUP BY 1)
+SELECT token, tf, df FROM v ORDER BY tf DESC, token ASC LIMIT 25
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pie_spark.text.analysis import repetition_scores
+
+    return repetition_scores(_tp(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_SCORES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(len(toks) - 1),
+                                        i -> concat_ws(' ', toks[i + 1], toks[i + 2]))
+                    ELSE [] END) AS bg
+      FROM t),
+c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+a AS (SELECT doc_id, max(n) AS top, sum(n) AS total, count(*) AS uniq
+      FROM c GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(total, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(floor(top * 1000000 / total), 0) AS BIGINT) AS top_bigram_ppm,
+       CAST(coalesce(floor((total - uniq) * 1000000 / total), 0) AS BIGINT) AS dup_bigram_ppm
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.dedup.exact import duplicate_groups
 
@@ -1428,6 +1502,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, _lang_id_sql()),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),

@@ -181,6 +181,60 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document, integer-ppm exact:
+
+    * ``top_bigram_ppm`` — share of bigram slots taken by the single
+      most frequent bigram (boilerplate/keyword-stuffing detector);
+    * ``dup_bigram_ppm`` — share of bigram slots that are repeats of an
+      earlier bigram ((total − distinct) / total).
+
+    Shape: ONE explode → (doc_id, bigram) partial-agg count → per-doc
+    agg — both stages map-side combinable, no window. Docs with < 2
+    tokens re-enter via left join with zero fill so the output stays
+    one-row-per-doc (oracle row parity).
+    """
+    t = F.col(text_col)
+    toks = docs.select("doc_id", F.split(t, " ").alias("toks"))
+    n = F.size("toks")
+    # guard: sequence(0, n-2) with n < 2 would produce a DESCENDING
+    # sequence (Spark fills backwards), not an empty array
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at("toks", (i + 1).cast("int")),
+                F.try_element_at("toks", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = toks.select("doc_id", F.explode(grams).alias("bg"))
+    c = b.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    a = c.groupBy("doc_id").agg(
+        F.max("n").alias("top"),
+        F.sum("n").alias("total"),
+        F.count("*").alias("uniq"),
+    )
+
+    def ppm(num):
+        return F.coalesce(
+            F.floor(num * F.lit(1_000_000) / F.col("total")), F.lit(0)
+        ).cast("long")
+
+    return (
+        docs.select("doc_id")
+        .join(a, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_bigrams"),
+            ppm(F.col("top")).alias("top_bigram_ppm"),
+            ppm(F.col("total") - F.col("uniq")).alias("dup_bigram_ppm"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 (exact-dup key) + a
     min-shingle rolling fingerprint (word-``shingle``-gram, md5-min —

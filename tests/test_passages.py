@@ -1,0 +1,111 @@
+"""Passage-level dedup (C4-style sub-document dedup), vocab top-k and
+repetition scores — unit semantics beyond the sf0.01 oracle parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+DOCS = [
+    # doc 1: two unique lines + the shared boilerplate line
+    (1, "unique alpha line\nSHARED BOILERPLATE\nunique beta line"),
+    # doc 2: boilerplate twice (second is an intra-doc dup too)
+    (2, "SHARED BOILERPLATE\nunique gamma line\nSHARED BOILERPLATE"),
+    # doc 3: nothing but boilerplate — disappears entirely after dedup
+    (3, "SHARED BOILERPLATE"),
+    # doc 4: empty lines are dropped, not deduped
+    (4, "unique delta line\n\nunique epsilon line"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+BOILER_OCCS = {(1, 1), (2, 0), (2, 2), (3, 0)}
+
+
+def test_passage_dedup_map_one_survivor(spark):
+    from pie_spark.dedup.passages import passage_dedup_map
+
+    m = {
+        (r["doc_id"], r["passage_idx"]): r["is_dup"]
+        for r in passage_dedup_map(_df(spark)).collect()
+    }
+    # exactly ONE deterministic survivor among the 4 boilerplate copies
+    survivors = {k for k in BOILER_OCCS if not m[k]}
+    assert len(survivors) == 1, m
+    # unique lines never flagged
+    assert not any(dup for k, dup in m.items() if k not in BOILER_OCCS)
+    # doc 4's empty middle line was dropped before keying
+    assert (4, 1) not in m and (4, 0) in m and (4, 2) in m
+    # election is partitioning-independent (same survivor at 1 partition)
+    m1 = {
+        (r["doc_id"], r["passage_idx"]): r["is_dup"]
+        for r in passage_dedup_map(_df(spark).repartition(1)).collect()
+    }
+    assert m1 == m
+
+
+def test_dedup_passages_text_reassembly(spark):
+    from pie_spark.dedup.passages import dedup_passages_text
+
+    out = {r["doc_id"]: r["text"] for r in dedup_passages_text(_df(spark)).collect()}
+    # unique lines survive in original order; boilerplate appears exactly
+    # once across the whole corpus
+    assert "unique alpha line" in out[1] and "unique beta line" in out[1]
+    assert out[1].index("unique alpha line") < out[1].index("unique beta line")
+    assert "unique gamma line" in out[2]
+    total_boiler = sum(t.count("SHARED BOILERPLATE") for t in out.values())
+    assert total_boiler == 1
+    assert out[4] == "unique delta line\nunique epsilon line"
+
+
+def test_passage_dedup_block_mode(spark):
+    from pie_spark.dedup.passages import passages
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a b c d e f g")], columns=["doc_id", "text"])
+    )
+    got = {
+        r["passage_idx"]: r["passage"]
+        for r in passages(df, block_words=3).collect()
+    }
+    assert got == {0: "a b c", 1: "d e f", 2: "g"}
+
+
+def test_vocab_topk_deterministic_cut(spark):
+    from pie_spark.text.vocab import vocab_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "z z y y x w"), (2, "w x y")], columns=["doc_id", "text"]
+        )
+    )
+    rows = vocab_topk(df, k=3).collect()
+    got = [(r["token"], r["tf"], r["df"]) for r in rows]
+    # tf: y=3 (docs 1,2), z=2, x=2, w=2 → tie among w/x/z broken token-asc
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == got
+    assert got[0] == ("y", 3, 2)
+    assert [t for t, *_ in got[1:]] == ["w", "x"]
+
+
+def test_repetition_scores_edges(spark):
+    from pie_spark.text.analysis import repetition_scores
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "spam spam spam spam"),  # 3 identical bigrams
+                (2, "all tokens differ here"),  # all bigrams unique
+                (3, "single"),  # no bigrams — zero-filled row
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["top_bigram_ppm"] == 1_000_000
+    assert got[1]["dup_bigram_ppm"] == 666_666
+    assert got[2]["dup_bigram_ppm"] == 0
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_ppm"] == 0
