@@ -30,9 +30,12 @@ def norm_text(text_col: str) -> Column:
     verified r03). Fallback: when normalization strips EVERYTHING
     (emoji-only / punctuation-only docs), use the raw text so distinct
     docs never share the degenerate '' key."""
-    stripped = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N} ]", "")
-    )
+    # ς→σ after lowering: Spark's lower() applies the Greek final-sigma
+    # context rule (Σ at word end → ς) while DuckDB maps Σ→σ always —
+    # folding to σ on both sides equals Unicode case folding and keeps
+    # the oracle bit-identical (caught by test_norm_parity_fuzz)
+    lowered = F.translate(F.lower(F.col(text_col)), "ς", "σ")
+    stripped = F.trim(F.regexp_replace(lowered, r"[^\p{L}\p{N} ]", ""))
     return F.coalesce(F.nullif(stripped, F.lit("")), F.col(text_col))
 
 

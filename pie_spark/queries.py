@@ -728,7 +728,7 @@ FROM s
 # letter/number classes (RE2 == Java regex here, parity-verified) with
 # raw-text fallback when normalization yields ''
 _DUCK_NORM = (
-    "coalesce(nullif(trim(regexp_replace(lower(text), "
+    "coalesce(nullif(trim(regexp_replace(replace(lower(text), 'ς', 'σ'), "
     "'[^\\p{L}\\p{N} ]', '', 'g')), ''), text)"
 )
 _DUCK_TOKS = f"string_split({_DUCK_NORM}, ' ')"
@@ -958,6 +958,37 @@ SELECT d.doc_id,
        CAST(coalesce(floor(top * 1000000 / total), 0) AS BIGINT) AS top_bigram_ppm,
        CAST(coalesce(floor((total - uniq) * 1000000 / total), 0) AS BIGINT) AS dup_bigram_ppm
 FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced stratified sampling over the lang column
+    (τ=0.7): head language downsampled to cap, tail kept near-whole;
+    keep decision = salted-hash ppm threshold (reshard/resume-stable)."""
+    from pie_spark.prep.sampling import stratified_sample, temperature_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", temperature=0.7, cap=1.0)
+    return stratified_sample(docs.select("doc_id", "lang"), rates, "lang").select(
+        "doc_id", "lang"
+    )
+
+
+def _stratified_sample_sql(temperature: float = 0.7) -> str:
+    # embed the EXACT double Spark computes for τ−1 (0.7−1.0 is not
+    # representable as -0.3; repr() round-trips the bit pattern)
+    exp = repr(temperature - 1.0)
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+m AS (SELECT max(n) AS n_max FROM c),
+r AS (SELECT lang,
+             CAST(least(floor(1000000 * pow(n / CAST(n_max AS DOUBLE), {exp})),
+                        1000000) AS BIGINT) AS rate_ppm
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS UBIGINT)::BIGINT % 1000000 < r.rate_ppm
 """
 
 
@@ -1505,6 +1536,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),

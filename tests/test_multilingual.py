@@ -249,3 +249,51 @@ def test_oracle_minhash_multilingual(spark, docs_df, ddb):
     _assert_parity(
         "minhash/ml", flat.toPandas(), ddb.execute(_minhash_sql()).fetchdf()
     )
+
+
+def test_norm_parity_fuzz(spark, ddb):
+    """Randomized cross-engine normalizer parity: 200 seeded strings
+    mixing scripts, emoji, digits, combining marks, and whitespace run
+    through Spark's norm_text and the DuckDB _DUCK_NORM mirror in one
+    batch — any Java-regex/RE2 or lower() divergence fails here before
+    it can silently skew a dedup oracle."""
+    import random
+
+    rng = random.Random(20260816)
+    pools = [
+        "abcXYZ012 ",
+        "日本語テキスト処理",
+        "русскийЁё ",
+        "한국어텍스트",
+        "العربية١٢٣",
+        "ελληνικάΣς",
+        "हिंदीपाठ",
+        "àéîõüÆßǅ",
+        "😀🎉🚀§¶†‡№™",
+        "!?.,;:-_()[]{}'\"\t\n",
+        "ⅣⅩ①②③",
+        " 　​",  # nbsp, ideographic space, zero-width
+        "éä",  # combining marks
+    ]
+    strings = [
+        "".join(rng.choice(rng.choice(pools)) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+
+    from pie_spark.dedup.shingles import norm_text
+
+    pdf = pd.DataFrame({"i": range(len(strings)), "text": strings})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["n"]
+        for r in sdf.select("i", norm_text("text").alias("n")).collect()
+    }
+
+    from pie_spark.queries import _DUCK_NORM
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(con.execute(f"SELECT i, {_DUCK_NORM} FROM t").fetchall())
+    con.close()
+    diffs = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not diffs, f"{len(diffs)} divergent normalizations, e.g. {list(diffs.items())[:3]}"

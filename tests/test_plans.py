@@ -154,3 +154,37 @@ def test_fused_stage_single_python_pass_whole_pipeline(spark, docs_parquet):
     assert "InMemoryTableScan" in plan
     assert plan.count("ArrowEvalPython") <= plan.count("InMemoryTableScan")
     res.unpersist()
+
+
+def test_passage_dedup_survivor_election_is_hash_agg(spark):
+    """The survivor election must stay a HASH aggregate (fixed-width
+    min over the occurrence hash) — min over struct/string silently
+    degrades to SortAggregate, sorting every partition by passage key
+    on both sides of the shuffle (the r03 plan-audit regression)."""
+    from pie_spark.dedup.passages import passage_dedup_map
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(passage_dedup_map(d, block_words=3), "simple")
+    assert "SortAggregate" not in plan
+    assert "partial_min" in plan  # map-side combine collapses hot passages
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full Sort+Exchange of the vocab."""
+    from pie_spark.text.vocab import vocab_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(vocab_topk(d, k=25), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # a global sort would show this
+
+
+def test_stratified_sample_rates_broadcast(spark):
+    """The per-stratum rate map joins broadcast; corpus never shuffles."""
+    from pie_spark.prep.sampling import stratified_sample, temperature_rates
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = temperature_rates(d, "lang", temperature=0.7)
+    plan = _explain(stratified_sample(d, rates, "lang"), "simple")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
