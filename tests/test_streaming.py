@@ -48,3 +48,93 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     got_all = _mention_set(read_streamed_mentions(spark, out_dir))
     assert got_all == _mention_set(extract_stage(spark, cfg, docs, d))
     assert got_all > got1
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """First-seen content survives; duplicates arriving in LATER
+    micro-batches are suppressed by the state store; the surviving key
+    set equals batch exact-dedup over the same files."""
+    from pie_spark.dedup.exact import duplicate_groups
+    from pie_spark.streaming.dedup import streaming_dedup_docs
+
+    docs = interleaved_docs(spark, SF_DIR).localCheckpoint(eager=True)
+    half1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    # half2 contains NEW docs plus exact copies of half1 docs (re-crawl)
+    half2 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).unionByName(
+        half1.limit(20)
+    )
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.write.mode("append").parquet(in_dir)
+    streaming_dedup_docs(spark, in_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+
+    half2.write.mode("append").parquet(in_dir)
+    streaming_dedup_docs(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+
+    # exactly one survivor per distinct content key, across batches
+    assert out.groupBy("content_md5").count().filter("count > 1").count() == 0
+    # the 20 re-crawled duplicates were suppressed by cross-batch state
+    flat_all = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("spans", lambda sp: F.coalesce(sp["text"], F.lit("")))
+        ).alias("text"),
+    )
+    batch_keys = {r["content_md5"] for r in duplicate_groups(flat_all).collect()}
+    stream_keys = {r["content_md5"] for r in out.select("content_md5").collect()}
+    assert stream_keys == batch_keys
+    assert out.count() == len(batch_keys) >= n1
+
+
+def test_stateful_surface_counts_accumulate(spark, tmp_path):
+    """applyInPandasWithState custom accumulator: per-surface totals
+    grow monotonically across drains, state survives query restarts,
+    and the final totals equal the batch groupBy over all mentions."""
+    from pie_spark.streaming.counters import latest_counts, stream_surface_counts
+
+    cfg = PipelineConfig()
+    d = entity_dict_df(spark)
+    docs = interleaved_docs(spark, SF_DIR).localCheckpoint(eager=True)
+    half1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    half2 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+
+    in_dir = str(tmp_path / "landing")
+    m_dir = str(tmp_path / "mentions")
+    ing_ckpt = str(tmp_path / "ingest_ckpt")
+    cnt_dir = str(tmp_path / "counts")
+    cnt_ckpt = str(tmp_path / "counts_ckpt")
+
+    half1.write.mode("append").parquet(in_dir)
+    stream_extract_mentions(spark, cfg, in_dir, d, m_dir, ing_ckpt)
+    stream_surface_counts(spark, m_dir, cnt_dir, cnt_ckpt)
+    c1 = {r["norm_key"]: r["mentions_total"] for r in latest_counts(spark, cnt_dir).collect()}
+    assert c1 and all(v > 0 for v in c1.values())
+
+    half2.write.mode("append").parquet(in_dir)
+    stream_extract_mentions(spark, cfg, in_dir, d, m_dir, ing_ckpt)
+    stream_surface_counts(spark, m_dir, cnt_dir, cnt_ckpt)
+    c2 = {r["norm_key"]: r["mentions_total"] for r in latest_counts(spark, cnt_dir).collect()}
+
+    # monotone accumulation (state carried across separate drains)
+    assert all(c2.get(k, 0) >= v for k, v in c1.items())
+    assert sum(c2.values()) > sum(c1.values())
+
+    # final totals == batch ground truth over the same mention files
+    from pie_spark.extract.normalize import norm_key
+    from pie_spark.streaming.ingest import read_streamed_mentions
+
+    truth = {
+        r["norm_key"]: r["n"]
+        for r in read_streamed_mentions(spark, m_dir)
+        .filter(F.col("mention_type") == "PERSON")
+        .select(norm_key(F.col("surface")).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert c2 == truth
