@@ -98,23 +98,15 @@ def run_prep_checkpointed(
     from pie_spark.dedup.clusters import near_dup_clusters
     from pie_spark.io.lineage import new_run_id
     from pie_spark.prep.decontam import contamination_hits
-    from pie_spark.prep.splits import assign_splits
-    from pie_spark.text.analysis import lang_id, quality_scores
+    from pie_spark.prep.scores import combined_doc_scores
 
     run_id = new_run_id()
     ckpt = SnapshotTable(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     resumed: list[str] = []
 
     def scores() -> DataFrame:
-        q = quality_scores(corpus).select("doc_id", "quality_ppm")
-        l = lang_id(corpus).select("doc_id", "lang_guess")
-        s = assign_splits(corpus.select("doc_id"), weights=cfg.split_weights)
-        return (
-            corpus.select("doc_id")
-            .join(q, "doc_id")
-            .join(l, "doc_id")
-            .join(s.select("doc_id", "split"), "doc_id")
-        )
+        # one corpus scan, zero joins (pie_spark/prep/scores.py)
+        return combined_doc_scores(corpus, split_weights=cfg.split_weights)
 
     def drop() -> DataFrame:
         return (

@@ -23,23 +23,23 @@ def split_bucket(key: Column, salt: str = "split:") -> Column:
     return F.pmod(h64(F.concat(F.lit(salt), key.cast("string"))), F.lit(DENOM))
 
 
-def assign_splits(
-    df: DataFrame,
-    key_col: str = "doc_id",
+def split_column(
+    key: Column,
     weights: dict[str, float] | None = None,
     salt: str = "split:",
-) -> DataFrame:
-    """Adds (split_bucket, split) columns. ``weights`` map split name →
-    fraction (must sum to ≤ 1; remainder falls into the LAST split).
-    Thresholds are cumulative in the given order, so the mapping is
-    reproducible from the config alone."""
+) -> Column:
+    """The split-name assignment as ONE column expression (for fused
+    single-scan scorers). ``weights`` map split name → fraction (must
+    sum to ≤ 1; remainder falls into the LAST split). Thresholds are
+    cumulative in the given order, so the mapping is reproducible from
+    the config alone."""
     if weights is None:
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) > 1 + 1e-9:
         raise ValueError(
             f"invalid split weights (each >= 0, sum <= 1): {weights}"
         )
-    bucket = split_bucket(F.col(key_col), salt)
+    bucket = split_bucket(key, salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -48,5 +48,17 @@ def assign_splits(
         cond = bucket < int(round(acc * DENOM))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
-    split = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split:",
+) -> DataFrame:
+    """Adds (split_bucket, split) columns — see :func:`split_column`."""
+    key = F.col(key_col)
+    return df.withColumn("split_bucket", split_bucket(key, salt)).withColumn(
+        "split", split_column(key, weights, salt)
+    )

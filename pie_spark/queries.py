@@ -919,6 +919,38 @@ FROM p JOIN f USING (passage_md5)
 """
 
 
+def q_passage_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rebuilt without corpus-duplicate passages (order
+    preserved) — the O1 reassembly pattern applied to sub-doc dedup."""
+    from pie_spark.dedup.passages import dedup_passages_text
+
+    return dedup_passages_text(_tp(spark, sf_dir, "documents"), block_words=3)
+
+
+SQL_PASSAGE_DEDUP_TEXT = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(CAST(ceil(len(toks) / 3.0) AS INT), 1))) AS i
+  FROM t
+),
+seg AS (
+  SELECT doc_id, CAST(i AS INT) AS passage_idx,
+         array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ') AS passage
+  FROM seg0
+),
+p AS (SELECT doc_id, passage_idx, passage, md5(passage) AS passage_md5,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(passage_idx AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS occ
+      FROM seg WHERE passage <> ''),
+f AS (SELECT passage_md5, min(occ) AS first_occ FROM p GROUP BY 1)
+SELECT doc_id, string_agg(passage, ' ' ORDER BY passage_idx) AS text
+FROM p JOIN f USING (passage_md5)
+WHERE occ = first_occ
+GROUP BY doc_id
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 corpus vocabulary with tf+df (k < fixture vocab size so
     the deterministic (tf desc, token asc) cut actually bites)."""
@@ -1438,16 +1470,17 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked operator; this pins their COMPOSITION to DuckDB."""
     from pie_spark.dedup.clusters import near_dup_clusters
     from pie_spark.prep.decontam import contamination_hits
-    from pie_spark.prep.splits import assign_splits
-    from pie_spark.text.analysis import lang_id, quality_scores
+    from pie_spark.prep.scores import combined_doc_scores
 
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
 
-    q = quality_scores(corpus).select("doc_id", "quality_ppm")
-    l = lang_id(corpus).select("doc_id", "lang_guess")
-    s = assign_splits(corpus.select("doc_id"), weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    # r03: quality+lang+split fused into ONE corpus scan (the r02 form
+    # joined three separately-scanned frames back on doc_id)
+    scores = combined_doc_scores(
+        corpus, split_weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
     drop = (
         near_dup_clusters(corpus, threshold=0.5)
         .filter(F.col("doc_id") != F.col("cluster_rep"))
@@ -1455,11 +1488,7 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contam = contamination_hits(corpus, bench, n=3, min_overlap=1).select("doc_id")
     return (
-        corpus.select("doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(s.select("doc_id", "split"), "doc_id")
-        .filter(
+        scores.filter(
             (F.col("quality_ppm") >= 600000)
             & (F.col("lang_guess") == "en")
             & (F.col("split") == "train")
@@ -1534,6 +1563,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "passage_dedup_text": (q_passage_dedup_text, SQL_PASSAGE_DEDUP_TEXT),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),

@@ -69,9 +69,9 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / repetition signals + a composite
-    quality score, all in integer parts-per-million.
+def quality_columns(t: Column) -> dict[str, Column]:
+    """The quality signal expressions keyed by output name (expression
+    form so fused single-scan scorers can pick what they need).
 
     ppm integers instead of rounded doubles is deliberate: float
     ``round`` at engine boundaries is tie-broken differently (Java
@@ -80,7 +80,6 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     integer inputs is bit-identical everywhere (IEEE division of exact
     ints floors identically unless the quotient is an integer — in
     which case it is exact)."""
-    t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(t, " ")
     n_tokens = F.size(toks)
@@ -102,19 +101,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.floor(F.least(stop_ppm * 5, F.lit(1000000)) * 3 / 10)
         + F.floor((F.lit(1000000) - punct_ppm) * 3 / 10)
     ).cast("long")
-    return docs.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars_m"),
-        n_tokens.cast("long").alias("n_tokens"),
-        punct_ppm.alias("punct_ppm"),
-        stop_ppm.alias("stopword_ppm"),
-        ttr_ppm.alias("ttr_ppm"),
-        quality_ppm.alias("quality_ppm"),
-    )
+    return {
+        "n_chars_m": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ppm": punct_ppm,
+        "stopword_ppm": stop_ppm,
+        "ttr_ppm": ttr_ppm,
+        "quality_ppm": quality_ppm,
+    }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Two-tier language-ID heuristic, all native expressions:
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition signals + a composite
+    quality score, all in integer parts-per-million."""
+    cols = quality_columns(F.col(text_col))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def lang_guess_column(t: Column) -> Column:
+    """The two-tier language guess as ONE column expression (so fused
+    single-scan scorers can use it without an intermediate frame):
 
     1. **Script tier** (new r03 — the r02 stopword-only version tagged
        every CJK/Cyrillic/Arabic doc 'de' via the zero-hit tiebreak):
@@ -126,27 +132,14 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
        the r02 stopword argmax over en/es/de/fr with (hits desc,
        lang asc) tiebreak — bit-identical to r02 on ASCII corpora.
     """
-    t = F.col(text_col)
-    hit_cols = {
-        lang: sum(_word_hits(t, w) for w in words).alias(f"hits_{lang}")
+    hit_exprs = {
+        lang: sum(_word_hits(t, w) for w in words)
         for lang, words in LANG_STOPWORDS.items()
     }
-    script_cols = {
-        lang: _script_count(t, cls).alias(f"sc_{lang}")
-        for lang, cls, _re2, _rank in SCRIPT_LANGS
-    }
-    scored = docs.select(
-        "doc_id",
-        *hit_cols.values(),
-        *script_cols.values(),
-        _script_count(t, KANA_JAVA).alias("sc_kana"),
-        _script_count(t, LATIN_JAVA).alias("sc_latin"),
-    )
     pairs = F.array(
         *[
             F.struct(
-                (-F.col(f"hits_{lang}")).alias("neg_hits"),
-                F.lit(lang).alias("lang"),
+                (-hit_exprs[lang]).alias("neg_hits"), F.lit(lang).alias("lang")
             )
             for lang in LANG_STOPWORDS
         ]
@@ -158,26 +151,33 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # so count ties fall through to the stopword guess
     script_pairs = F.array(
         F.struct(
-            (-F.col("sc_latin")).alias("neg"),
+            (-_script_count(t, LATIN_JAVA)).alias("neg"),
             F.lit(0).alias("rank"),
             stop_guess.alias("lang"),
         ),
         *[
             F.struct(
-                (-F.col(f"sc_{lang}")).alias("neg"),
+                (-_script_count(t, cls)).alias("neg"),
                 F.lit(rank).alias("rank"),
                 F.lit(lang).alias("lang"),
             )
-            for lang, _cls, _re2, rank in SCRIPT_LANGS
+            for lang, cls, _re2, rank in SCRIPT_LANGS
         ],
     )
-    guess = F.when(F.col("sc_kana") > 0, F.lit("ja")).otherwise(
+    return F.when(_script_count(t, KANA_JAVA) > 0, F.lit("ja")).otherwise(
         F.array_sort(script_pairs).getItem(0)["lang"]
     )
-    return scored.select(
-        "doc_id",
-        *[F.col(f"hits_{lang}").cast("long") for lang in LANG_STOPWORDS],
-        guess.alias("lang_guess"),
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, hits_*, lang_guess) — see :func:`lang_guess_column`."""
+    t = F.col(text_col)
+    hit_cols = [
+        sum(_word_hits(t, w) for w in words).cast("long").alias(f"hits_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    return docs.select(
+        "doc_id", *hit_cols, lang_guess_column(t).alias("lang_guess")
     )
 
 
