@@ -1300,6 +1300,34 @@ SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-micro-unit centroids per embedding near-dup cluster
+    (deterministic across partitionings — no float-sum order
+    dependence; see pie_spark/ann/centroids.py)."""
+    from pie_spark.ann.centroids import cluster_centroids
+    from pie_spark.dedup.clusters import cosine_near_dup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clusters = cosine_near_dup_clusters(emb, threshold=0.3)
+    return cluster_centroids(clusters, emb)
+
+
+def _embedding_centroids_sql(threshold: float = 0.3) -> str:
+    clusters = _embedding_clusters_sql(threshold=threshold)
+    return f"""
+WITH cl AS ({clusters}),
+e AS (SELECT CAST(vec_id AS VARCHAR) AS vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings),
+j AS (SELECT cl.cluster_rep, e.pos,
+             CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS mv
+      FROM cl JOIN e USING (vec_id)),
+pd AS (SELECT cluster_rep, pos, sum(mv) AS s, count(*) AS n FROM j GROUP BY 1, 2)
+SELECT cluster_rep, CAST(max(n) AS BIGINT) AS n_members,
+       list(CAST(floor(s / n) AS BIGINT) ORDER BY pos) AS centroid_micro
+FROM pd GROUP BY cluster_rep
+"""
+
+
 def _ann_queries(spark: SparkSession, sf_dir: str):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -1575,6 +1603,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_neardups": (q_embedding_neardups, _embedding_neardups_sql()),
     "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
+    "embedding_centroids": (q_embedding_centroids, _embedding_centroids_sql()),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE_FORCE),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql()),
     "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),

@@ -108,3 +108,34 @@ def test_ivf_deterministic_and_scale_safe_plan(emb, queries):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "q_id" in line, f"un-partitioned window in plan: {line}"
+
+
+def test_cluster_centroids_deterministic(spark):
+    """Integer micro-unit centroids are partitioning-independent (the
+    whole reason they're not avg(double)), singletons absent, values
+    = floor(sum(round(v*1e6))/n) per dim."""
+    import pandas as pd
+    from pie_spark.ann.centroids import cluster_centroids
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3, 4],
+                "embedding": [[1.0, -0.5], [0.0, 0.5], [0.25, 0.25], [9.0, 9.0]],
+            }
+        )
+    )
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ["1", "2", "3"], "cluster_rep": ["1", "1", "1"]})
+    )
+    got = cluster_centroids(clusters, emb).collect()
+    assert len(got) == 1  # vec 4 is a singleton — no centroid row
+    row = got[0]
+    assert row["n_members"] == 3
+    # dim0: (1e6 + 0 + 250000)/3 -> 416666; dim1: (-500000+500000+250000)/3 -> 83333
+    assert row["centroid_micro"] == [416666, 83333]
+
+    got2 = cluster_centroids(
+        clusters.repartition(5), emb.repartition(3)
+    ).collect()[0]
+    assert got2["centroid_micro"] == row["centroid_micro"]
