@@ -54,9 +54,32 @@ class PrepOutput:
     resumed_stages: list[str]  # stages loaded from the checkpoint
 
 
-def _latest_stage_snapshot(ckpt: SnapshotTable, stage: str) -> int | None:
+def _params_key(cfg: "PrepConfig") -> str:
+    """Stable fingerprint of every parameter that shapes stage OUTPUT.
+    Resume only reuses a stage snapshot whose fingerprint matches — a
+    checkpoint dir shared across runs with a different threshold or
+    split mix must recompute, not silently serve stale data."""
+    import json
+
+    return json.dumps(
+        {
+            "quality_min_ppm": cfg.quality_min_ppm,
+            "lang": cfg.lang,
+            "split": cfg.split,
+            "split_weights": cfg.split_weights,
+            "neardup_threshold": cfg.neardup_threshold,
+            "contam_ngram": cfg.contam_ngram,
+            "contam_min_overlap": cfg.contam_min_overlap,
+        },
+        sort_keys=True,
+    )
+
+
+def _latest_stage_snapshot(
+    ckpt: SnapshotTable, stage: str, params: str
+) -> int | None:
     for s in reversed(ckpt.snapshots()):
-        if s.meta.get("stage") == stage:
+        if s.meta.get("stage") == stage and s.meta.get("params") == params:
             return s.id
     return None
 
@@ -66,23 +89,24 @@ def _stage(
     ckpt: SnapshotTable | None,
     resume: bool,
     run_id: str,
+    params: str,
     stage: str,
     compute: Callable[[], DataFrame],
     resumed: list[str],
 ) -> DataFrame:
-    """Load ``stage`` from the checkpoint if a finished snapshot exists,
-    else compute and commit it atomically (manifest-last — a crash
-    mid-commit leaves the previous snapshot current and the stage simply
-    recomputes on the next run)."""
+    """Load ``stage`` from the checkpoint if a finished snapshot with a
+    MATCHING config fingerprint exists, else compute and commit it
+    atomically (manifest-last — a crash mid-commit leaves the previous
+    snapshot current and the stage simply recomputes on the next run)."""
     if ckpt is None:
         return compute()
     if resume:
-        sid = _latest_stage_snapshot(ckpt, stage)
+        sid = _latest_stage_snapshot(ckpt, stage, params)
         if sid is not None:
             resumed.append(stage)
             return ckpt.scan(spark, stage, snapshot_id=sid)
     df = compute()
-    ckpt.commit({stage: df}, meta={"stage": stage, "run_id": run_id})
+    ckpt.commit({stage: df}, meta={"stage": stage, "run_id": run_id, "params": params})
     sid = ckpt.current_snapshot()
     # read back the committed parquet so downstream stages consume the
     # pinned snapshot (identical plan on fresh and resumed runs)
@@ -101,6 +125,7 @@ def run_prep_checkpointed(
     from pie_spark.prep.scores import combined_doc_scores
 
     run_id = new_run_id()
+    params = _params_key(cfg)
     ckpt = SnapshotTable(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     resumed: list[str] = []
 
@@ -120,9 +145,9 @@ def run_prep_checkpointed(
             corpus, benchmark, n=cfg.contam_ngram, min_overlap=cfg.contam_min_overlap
         ).select("doc_id")
 
-    scores_df = _stage(spark, ckpt, cfg.resume, run_id, "scores", scores, resumed)
-    drop_df = _stage(spark, ckpt, cfg.resume, run_id, "drop", drop, resumed)
-    contam_df = _stage(spark, ckpt, cfg.resume, run_id, "contam", contam, resumed)
+    scores_df = _stage(spark, ckpt, cfg.resume, run_id, params, "scores", scores, resumed)
+    drop_df = _stage(spark, ckpt, cfg.resume, run_id, params, "drop", drop, resumed)
+    contam_df = _stage(spark, ckpt, cfg.resume, run_id, params, "contam", contam, resumed)
 
     manifest = (
         scores_df.filter(
@@ -138,7 +163,8 @@ def run_prep_checkpointed(
     manifest_sid = None
     if ckpt is not None:
         ckpt.commit(
-            {"manifest": manifest}, meta={"stage": "manifest", "run_id": run_id}
+            {"manifest": manifest},
+            meta={"stage": "manifest", "run_id": run_id, "params": params},
         )
         manifest_sid = ckpt.current_snapshot()
         manifest = ckpt.scan(spark, "manifest", snapshot_id=manifest_sid)

@@ -171,3 +171,33 @@ def test_prep_resume_byte_identical(spark, tmp_path, monkeypatch):
     )
     assert r3.resumed_stages == ["scores", "drop", "contam"]
     assert _manifest_hash(r3.manifest) == h0
+
+
+def test_prep_resume_ignores_mismatched_config(spark, tmp_path):
+    """A checkpoint written under one config must NOT be reused by a run
+    with different parameters — stale-stage reuse would silently apply
+    the wrong threshold/split mix."""
+    from pie_spark.prep.runner import PrepConfig, run_prep_checkpointed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).limit(200).localCheckpoint(eager=True)
+
+    ckpt_dir = str(tmp_path / "ck")
+    r1 = run_prep_checkpointed(
+        spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
+    )
+    assert r1.resumed_stages == []
+
+    # different threshold → every stage recomputes (no resumed stages)
+    r2 = run_prep_checkpointed(
+        spark, corpus, bench,
+        PrepConfig(checkpoint_dir=ckpt_dir, neardup_threshold=0.9),
+    )
+    assert r2.resumed_stages == []
+
+    # same config as r1 again → all three stages resume
+    r3 = run_prep_checkpointed(
+        spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
+    )
+    assert r3.resumed_stages == ["scores", "drop", "contam"]
