@@ -57,3 +57,44 @@ def pack_concat_chunks(
         F.floor(start / budget_tokens).cast("long").alias("chunk_id"),
         (start % budget_tokens).cast("long").alias("chunk_offset"),
     )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): sliding-window token
+    chunks with overlap = chunk_tokens − stride (the RAG/context-window
+    chunker; pack_concat_chunks is the disjoint packing layout).
+
+    All narrow expressions — one scan, zero shuffles: token array bound
+    to its own projection (the shingles.py Catalyst invariant), starts =
+    sequence stepping by ``stride``, slices re-joined per start. The
+    final start always covers the tail (last chunk may be short); empty
+    docs yield no chunks."""
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens: stride={stride}, chunk={chunk_tokens}"
+        )
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("toks"),
+    )
+    n = F.size("toks")
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    starts = F.sequence(F.lit(0), (F.greatest(n_chunks, F.lit(1)) - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda st: F.concat_ws(" ", F.slice("toks", st + 1, chunk_tokens))
+    )
+    return (
+        toks.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .filter(F.col("chunk_text") != "")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+            "chunk_text",
+        )
+    )

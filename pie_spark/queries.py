@@ -696,6 +696,38 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat_chunks(_t(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8)
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token chunks, stride 24 → 8-token
+    overlap) — the RAG/context-window chunker, one scan, no shuffle."""
+    from pie_spark.prep.packing import chunk_with_overlap
+
+    return chunk_with_overlap(
+        _tp(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+SQL_CHUNK_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(CAST(ceil(len(toks) / 24.0) AS INT), 1))) AS i
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+       chunk_text
+FROM c WHERE chunk_text <> ''
+"""
+
+
 SQL_PACK_CHUNKS = """
 WITH b AS (
   SELECT doc_id,
@@ -965,6 +997,45 @@ f AS (SELECT token, doc_id, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1
 v AS (SELECT token, CAST(sum(n) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
       FROM f GROUP BY 1)
 SELECT token, tf, df FROM v ORDER BY tf DESC, token ASC LIMIT 25
+"""
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates vs true counts for the top-25 tokens
+    (est ≥ tf always; bounded overestimate — the sublinear heavy-hitter
+    path for skew pre-detection at vocabulary scales where the exact
+    (token, count) table is itself too big)."""
+    from pie_spark.text.sketch import build_sketch, estimate_counts
+    from pie_spark.text.vocab import vocab_topk
+
+    docs = _tp(spark, sf_dir, "documents")
+    sketch = build_sketch(docs)
+    top = vocab_topk(docs, k=25).select("token", "tf")
+    return top.join(estimate_counts(sketch, top.select("token")), "token")
+
+
+def _cm_heavy_hitters_sql(depth: int = 4, width: int = 8192) -> str:
+    rows = "[" + ", ".join(str(r) for r in range(depth)) + "]"
+    bkt = (
+        "CAST(('0x' || substr(md5('cm:' || CAST(row AS VARCHAR) || ':' || token), "
+        f"1, 15)) AS UBIGINT)::BIGINT % {width}"
+    )
+    return f"""
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tk2 AS (SELECT token FROM tk WHERE token <> ''),
+pr AS (SELECT token, unnest({rows}) AS row FROM tk2),
+pb AS (SELECT row, {bkt} AS bucket FROM pr),
+sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS c FROM pb GROUP BY 1, 2),
+f AS (SELECT token, doc_id, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY 1, 2),
+v AS (SELECT token, CAST(sum(n) AS BIGINT) AS tf FROM f GROUP BY 1
+      ORDER BY tf DESC, token ASC LIMIT 25),
+q AS (SELECT token, unnest({rows}) AS row FROM v),
+qp AS (SELECT token, row, {bkt} AS bucket FROM q),
+est AS (SELECT token, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+        FROM qp LEFT JOIN sk USING (row, bucket) GROUP BY 1)
+SELECT v.token, v.tf, est.est FROM v JOIN est USING (token)
 """
 
 
@@ -1569,6 +1640,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "redact_pii": (q_redact_pii, _redact_pii_sql()),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "training_manifest": (q_training_manifest, _training_manifest_sql()),
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
@@ -1595,6 +1667,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, _cm_heavy_hitters_sql()),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),

@@ -109,3 +109,30 @@ def test_repetition_scores_edges(spark):
     assert got[1]["dup_bigram_ppm"] == 666_666
     assert got[2]["dup_bigram_ppm"] == 0
     assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_ppm"] == 0
+
+
+def test_cm_sketch_guarantee(spark):
+    """est(x) >= true(x) ALWAYS (min over rows can only overcount via
+    collisions); with a tiny width collisions must appear yet never an
+    undercount; estimates are partitioning-independent."""
+    from pie_spark.text.sketch import build_sketch, estimate_counts
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i % 17))) for i in range(1, 120)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    truth = {
+        r["token"]: r["n"]
+        for r in df.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sk = build_sketch(df, width=8)  # tiny → heavy collisions
+    toks = spark.createDataFrame(pd.DataFrame({"token": list(truth)}))
+    est = {r["token"]: r["est"] for r in estimate_counts(sk, toks, width=8).collect()}
+    assert all(est[t] >= n for t, n in truth.items()), "CM undercounted"
+    assert any(est[t] > n for t, n in truth.items()), "width=8 must collide"
+
+    sk2 = build_sketch(df.repartition(7), width=8)
+    est2 = {r["token"]: r["est"] for r in estimate_counts(sk2, toks, width=8).collect()}
+    assert est2 == est

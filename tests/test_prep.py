@@ -179,3 +179,30 @@ def test_pack_chunks_partitioning_free(spark):
     a = sorted(map(tuple, pack_concat_chunks(d, 256, 4).collect()))
     b = sorted(map(tuple, pack_concat_chunks(d.repartition(17), 256, 4).collect()))
     assert a == b
+
+
+def test_chunk_with_overlap_semantics(spark):
+    import pandas as pd
+    from pie_spark.prep.packing import chunk_with_overlap
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_with_overlap(df, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1 (10 toks): starts 0,3,6,9 → windows overlap by 1
+    assert got[(1, 0)] == "a b c d"
+    assert got[(1, 1)] == "d e f g"
+    assert got[(1, 2)] == "g h i j"
+    assert got[(1, 3)] == "j"  # short tail kept
+    assert got[(2, 0)] == "x y"
+    assert all(d != 3 for d, _ in got)  # empty doc → no chunks
+
+    with _pt.raises(ValueError):
+        chunk_with_overlap(df, chunk_tokens=4, stride=5)
