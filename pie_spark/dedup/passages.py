@@ -38,7 +38,10 @@ def passages(
     delimiter: str = "\n",
     block_words: int = 0,
 ) -> DataFrame:
-    """(doc_id, passage_idx, passage) — ordered segmentation of each doc."""
+    """(doc_id, passage_idx, passage) — ordered segmentation of each doc.
+
+    ``delimiter`` is a Java REGEX (Spark split semantics): "\\n" splits
+    lines, "\\n{2,}" paragraphs; escape literal metacharacters."""
     if block_words > 0:
         toks = docs.select(
             "doc_id", F.split(F.col(text_col), " ").alias("toks")

@@ -1066,26 +1066,30 @@ FROM documents d LEFT JOIN a USING (doc_id)
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced stratified sampling over the lang column
-    (τ=0.7): head language downsampled to cap, tail kept near-whole;
-    keep decision = salted-hash ppm threshold (reshard/resume-stable)."""
+    (τ=0.7, cap=0.5 — cap < 1 so every stratum gets a REAL hash-threshold
+    cut at fixture scale; cap=1.0 saturates all rates on this
+    distribution and the oracle would only verify a pass-through):
+    head language downsampled hardest, tail kept fuller; keep decision =
+    salted-hash ppm threshold (reshard/resume-stable)."""
     from pie_spark.prep.sampling import stratified_sample, temperature_rates
 
     docs = _t(spark, sf_dir, "documents")
-    rates = temperature_rates(docs, "lang", temperature=0.7, cap=1.0)
+    rates = temperature_rates(docs, "lang", temperature=0.7, cap=0.5)
     return stratified_sample(docs.select("doc_id", "lang"), rates, "lang").select(
         "doc_id", "lang"
     )
 
 
-def _stratified_sample_sql(temperature: float = 0.7) -> str:
+def _stratified_sample_sql(temperature: float = 0.7, cap: float = 0.5) -> str:
     # embed the EXACT double Spark computes for τ−1 (0.7−1.0 is not
     # representable as -0.3; repr() round-trips the bit pattern)
     exp = repr(temperature - 1.0)
+    cap_denom = repr(float(cap) * 1_000_000)
     return f"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 m AS (SELECT max(n) AS n_max FROM c),
 r AS (SELECT lang,
-             CAST(least(floor(1000000 * pow(n / CAST(n_max AS DOUBLE), {exp})),
+             CAST(least(floor({cap_denom} * pow(n / CAST(n_max AS DOUBLE), {exp})),
                         1000000) AS BIGINT) AS rate_ppm
       FROM c, m)
 SELECT d.doc_id, d.lang
