@@ -27,9 +27,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pie_spark.dedup.exact import _content_key
 from pie_spark.schemas import DOC_SCHEMA
+
+# landing-zone schema for the bounded-state mode: the plain DOC_SCHEMA
+# plus the producer's ingestion timestamp (re-crawl landing zones carry
+# one; the unbounded mode neither requires nor reads it)
+DOC_EVENT_SCHEMA = T.StructType(
+    [*DOC_SCHEMA.fields, T.StructField("event_time", T.TimestampType(), False)]
+)
 
 
 def streaming_dedup_docs(
@@ -42,15 +50,18 @@ def streaming_dedup_docs(
 ) -> None:
     """Drain available files, appending only first-seen-content docs to
     ``output_dir``. ``within_watermark`` (e.g. ``"1 hour"``) bounds
-    state: duplicates are only suppressed within the watermark window
-    (requires an ``event_time`` column on the input)."""
-    reader = spark.readStream.schema(DOC_SCHEMA)
+    state: duplicates are only suppressed within the watermark window,
+    and the input files must carry an ``event_time`` timestamp column
+    (read via :data:`DOC_EVENT_SCHEMA`; the output keeps it)."""
+    schema = DOC_SCHEMA if within_watermark is None else DOC_EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
     flat = stream.select(
         "doc_id",
+        *(["event_time"] if within_watermark is not None else []),
         F.concat_ws(
             " ",
             F.transform("spans", lambda sp: F.coalesce(sp["text"], F.lit(""))),

@@ -48,7 +48,42 @@ def _rows(pdf):
 SQL_CHECKED = [(n, fn, sql) for n, (fn, sql) in QUERIES.items() if sql is not None]
 
 
-@pytest.mark.parametrize("name,fn,sql", SQL_CHECKED, ids=[n for n, *_ in SQL_CHECKED])
+def _folded_queries():
+    """Queries folded OUT of the driver registry to stay under its
+    50-query hard-signal cap (VERDICT r03 next#2) — their driver rows
+    moved to consolidated entries (doc_stats, media_transforms,
+    *_neardups, passage_dedup_text), but the standalone operators keep
+    FULL hash-checked oracle evidence here."""
+    from pie_spark import queries as q
+    from pie_spark.dedup.simhash import simhash_sql
+
+    return [
+        ("token_counts", q.q_token_counts, q.SQL_TOKEN_COUNTS),
+        ("quality_scores", q.q_quality_scores, q.SQL_QUALITY_SCORES),
+        ("fingerprints", q.q_fingerprints, q.SQL_FINGERPRINTS),
+        ("minhash_signatures", q.q_minhash_signatures, q._minhash_sql()),
+        ("simhash", q.q_simhash, simhash_sql()),
+        ("passage_dedup", q.q_passage_dedup, q.SQL_PASSAGE_DEDUP),
+        ("media_resize", q.q_media_resize, q._media_resize_sql()),
+        ("media_frame_sample", q.q_media_frame_sample, q._SQL_MEDIA_FRAME_SAMPLE),
+    ]
+
+
+FOLDED = [(f"folded:{n}", fn, sql) for n, fn, sql in _folded_queries()]
+
+
+def test_registry_under_driver_cap():
+    # the driver evaluates at most 50 queries in registration order;
+    # entry 51+ silently loses its correctness signal (seen in r03)
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} queries registered — consolidate: the driver "
+        "hard-signal cap is 50 and overflow rows get NO correctness check"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", SQL_CHECKED + FOLDED, ids=[n for n, *_ in SQL_CHECKED + FOLDED]
+)
 def test_oracle_parity(spark, ddb, name, fn, sql):
     got = fn(spark, SF_DIR_01).toPandas()
     want = ddb.execute(sql).fetchdf()
