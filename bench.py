@@ -125,9 +125,12 @@ def bench_skew(spark, sf_dir: str) -> dict:
         corpus, max_hamming=3, max_bucket=200
     ).count()
     sh_wall = time.perf_counter() - t0
+    # organic count from the ACTUAL corpus dir — a non-default
+    # SPARK_GRAFT_SF_DIR has a different documents table (ADVICE r03)
+    n_total = corpus.count()
     corpus.unpersist()
     return {
-        "docs_total": 15_000,
+        "docs_total": n_total,
         "docs_planted": 10_000,
         "minhash_wall_sec": round(mh_wall, 3),
         "minhash_pairs": mh_pairs,
@@ -136,6 +139,58 @@ def bench_skew(spark, sf_dir: str) -> dict:
         "minhash_docs_in_dropped": st["n_docs_in_dropped"],
         "simhash_wall_sec": round(sh_wall, 3),
         "simhash_pairs": sh_pairs,
+    }
+
+
+def bench_cc_skew(spark) -> dict:
+    """G1 skew evidence (VERDICT r03 #5): plant one hot component — a
+    100k-edge star around a single hub node — next to 1k small organic
+    components, then run the distributed CC loop with and without
+    hot-node salting (salt_k=8) and record per-iteration wall + changed
+    counts. Labels must be identical after sibling stripping; whichever
+    path wins, the numbers land in BENCH_r{N}.json under "cc_skew" so
+    the call is evidence, not argument."""
+    from pyspark.sql import functions as F
+
+    from pie_spark.canon.cc import connected_components
+    from pie_spark.canon.salting import salt_edges, strip_salted_nodes
+
+    leaves = spark.range(100_000).select(
+        F.lit("hub").alias("src"),
+        F.concat(F.lit("leaf:"), F.col("id").cast("string")).alias("dst"),
+    )
+    # 1k organic 5-node stars: members point at their group leader
+    organic = spark.range(5_000).select(
+        F.concat(F.lit("c:"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("c:"), (F.col("id") - F.col("id") % 5).cast("string")).alias("dst"),
+    )
+    edges = leaves.unionByName(organic).localCheckpoint(eager=True)
+
+    stats_u: list[dict] = []
+    t0 = time.perf_counter()
+    labels_u = connected_components(edges, iter_stats=stats_u).localCheckpoint(eager=True)
+    n_u = labels_u.count()
+    wall_u = time.perf_counter() - t0
+
+    stats_s: list[dict] = []
+    t0 = time.perf_counter()
+    labels_s = strip_salted_nodes(
+        connected_components(salt_edges(edges, ["hub"], 8), iter_stats=stats_s)
+    ).localCheckpoint(eager=True)
+    n_s = labels_s.count()
+    wall_s = time.perf_counter() - t0
+
+    mismatch = labels_u.exceptAll(labels_s).count() + labels_s.exceptAll(labels_u).count()
+    return {
+        "edges": 105_000,
+        "hot_star_edges": 100_000,
+        "unsalted_wall_sec": round(wall_u, 3),
+        "unsalted_iters": stats_u,
+        "salted_wall_sec": round(wall_s, 3),
+        "salted_iters": stats_s,
+        "labels": n_u,
+        "labels_salted": n_s,
+        "labels_mismatch": mismatch,
     }
 
 
@@ -207,6 +262,7 @@ def main() -> None:
             qtimes[name] = round(_time_query(fn, spark, sf_dir), 3)
         qtimes["pipeline"] = round(med, 3)
         skew = bench_skew(spark, sf_dir)
+        cc_skew = bench_cc_skew(spark)
         spark.stop()
 
         out = {
@@ -222,6 +278,7 @@ def main() -> None:
             "runs": [round(w, 3) for w in walls],
             "steal_pct_runs": steal_runs,
             "skew": skew,
+            "cc_skew": cc_skew,
         }
 
         if os.environ.get("PIE_BENCH_SCALING") == "1":

@@ -20,6 +20,10 @@ Scale design (10^12-doc design point, BASELINE.json:14):
   * convergence = count of changed labels, a cheap driver-side long;
     iterations bounded by graph diameter (alias graphs: ≤ a few hops)
     with a hard cap as a backstop.
+  * ``iter_stats`` (bench hook): pass a list to receive one
+    {"iter", "changed", "wall_sec"} dict per iteration — the cc_skew
+    bench uses it to compare salted vs unsalted convergence on a
+    planted hot component.
 """
 
 from __future__ import annotations
@@ -30,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 20,
+    iter_stats: list[dict] | None = None,
+) -> DataFrame:
     """edges(src, dst) → labels(node, component) with component = min
     node id (string order) in the component. Deterministic.
 
@@ -57,7 +65,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iters):
+    import time as _time
+
+    for _it in range(max_iters):
+        _t0 = _time.perf_counter()
         msgs = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "label", F.lit(None).cast("string").alias("old")
         )
@@ -82,6 +93,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = new.filter(F.col("label") != F.col("old")).count()
+        if iter_stats is not None:
+            iter_stats.append(
+                {
+                    "iter": _it,
+                    "changed": changed,
+                    "wall_sec": round(_time.perf_counter() - _t0, 3),
+                }
+            )
         labels = new.select("node", "label")
         if changed == 0:
             return labels.withColumnRenamed("label", "component")

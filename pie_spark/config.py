@@ -32,9 +32,15 @@ class PipelineConfig:
     pii_types: tuple[str, ...] = ("EMAIL", "SSN", "PHONE", "ADDRESS")
     # the gazetteer is broadcast-small by spec (BASELINE.json:6); this
     # cap guards the driver-side surface collect against a dictionary
-    # that is NOT — past it the run fails fast with a clear error
-    # instead of OOMing the driver mid-broadcast.
+    # that is NOT — past it the pipeline degrades to the shuffle-join
+    # gazetteer + non-broadcast salted linking (extract_stage /
+    # gazetteer_join.py) instead of OOMing the driver mid-broadcast.
     dict_max_surfaces: int = 5_000_000
+    # known-hot gazetteer surfaces for the join-fallback path (e.g. from
+    # a prior run's A4 top-k or the streaming hot-key counters); salted
+    # salt_k ways in the candidate⋈dictionary join. Empty → plain join
+    # with AQE skew-join as the backstop.
+    hot_surfaces: tuple[str, ...] = ()
     # --- CC loop -----------------------------------------------------------
     cc_max_iters: int = 20
     # dictionary graphs at/below this edge count run exact union-find on

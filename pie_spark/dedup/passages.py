@@ -121,18 +121,35 @@ def dedup_passages_text(
     text_col: str = "text",
     delimiter: str = "\n",
     block_words: int = 0,
+    join_str: str | None = None,
 ) -> DataFrame:
     """(doc_id, text): documents rebuilt WITHOUT corpus-duplicate
     passages, original passage order preserved (sort_array over
     (idx, passage) structs — the O1 ordered-reassembly pattern). Docs
-    whose every passage was a duplicate disappear entirely."""
+    whose every passage was a duplicate disappear entirely.
+
+    ``delimiter`` is a Java REGEX on the split side; rejoining uses
+    ``join_str``, defaulting to the delimiter only when it contains no
+    regex metacharacters (ADVICE r03: splitting on "\\n{2,}" and
+    rejoining with the literal pattern would splice "\\n{2,}" into the
+    rebuilt text). Pass ``join_str`` explicitly for regex delimiters."""
     p = passages(docs, text_col, delimiter, block_words).withColumn(
         "passage_md5", F.md5("passage")
     )
     keep = passage_dedup_map(docs, text_col, delimiter, block_words).filter(
         ~F.col("is_dup")
     )
-    joiner = delimiter if block_words == 0 else " "
+    if join_str is None:
+        if block_words > 0:
+            join_str = " "
+        elif not any(c in delimiter for c in "\\.^$|?*+()[]{}"):
+            join_str = delimiter  # plain literal (e.g. "\n") — safe to reuse
+        else:
+            raise ValueError(
+                f"delimiter {delimiter!r} is a regex pattern — pass join_str "
+                "explicitly (e.g. join_str='\\n\\n' for delimiter='\\n{{2,}}')"
+            )
+    joiner = join_str
     return (
         p.join(keep, ["doc_id", "passage_idx", "passage_md5"])
         .groupBy("doc_id")

@@ -1,0 +1,192 @@
+"""M6 at dictionary scale: shuffle-join gazetteer matching (SURVEY.md
+§2.3 M6 fallback; VERDICT r03 next#8).
+
+The in-UDF Aho-Corasick matcher (gazetteer.py) needs every dictionary
+surface on the driver and in every Python worker — broadcast-small by
+spec (BASELINE.json:6), but a billion-surface dictionary cannot ship
+that way. This module is the degradation path the pipeline switches to
+when ``try_collect_surfaces`` finds the dictionary over
+``PipelineConfig.dict_max_surfaces``: candidate token n-grams are
+generated NATIVELY from the text (zero Python), matched against the
+dictionary with a distributed equi-join on punctuation-stripped cores,
+then re-verified as EXACT substring occurrences of the full surface
+with the automaton's non-alnum flank guard — the dictionary never
+touches the driver.
+
+Parity with the automaton (asserted by tests/test_gazetteer_join.py on
+the generator corpus + adversarial punctuation): a hit is emitted iff
+the full surface occurs verbatim at the span with non-alnum flanks —
+identical to AhoCorasick.finditer + _boundary_ok. Coverage contract
+(documented, not silent): a surface is found iff its alnum CORE spans
+≤ ``max_ngram`` single-space-separated tokens — true for person-name
+gazetteers (what M6 matches); a surface whose core embeds double
+spaces, or that is pure punctuation, needs the automaton path.
+
+Scale shape (what shuffles at 10^12 docs):
+  * candidate generation + core extraction: ONE narrow projection
+    (``aggregate`` fold for char offsets — no window, no shuffle) and
+    one ``explode``; the span text itself NEVER enters a shuffle here.
+  * shuffle 1: candidate cores ⋈ dictionary cores — salted on
+    caller-supplied hot surfaces via the already-green J6 operator
+    (AQE skew-join is the backstop; explicit salting also protects the
+    downstream groupBys).
+  * shuffle 2: the (hit-sized, tiny vs corpus) core-hit set joins back
+    to spans on (doc_id, span_idx) for exact-substring verification —
+    rides the same hash(doc_id) partitioning downstream merge uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pie_spark.canon.salting import salted_join
+
+_ALNUM = r"[\p{L}\p{N}]"
+_NOT_ALNUM_HEAD = r"^[^\p{L}\p{N}]+"
+_NOT_ALNUM_TAIL = r"[^\p{L}\p{N}]+$"
+
+
+def _strip_core(col: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(col, _NOT_ALNUM_HEAD, ""), _NOT_ALNUM_TAIL, "")
+
+
+def _candidate_cores(text: Column, max_ngram: int) -> Column:
+    """array<struct<start:int,end:int,skey:string>> of token-aligned
+    candidate spans: for token i and length n, the span runs from the
+    first alnum char of token i to the last alnum char of token i+n-1,
+    and ``skey`` is the EXACT text substring of that span (the join key
+    against dictionary-surface cores)."""
+    toks = F.split(text, " ")
+    # char offset of token i = sum of len+1 over tokens before it —
+    # an aggregate fold, narrow, no shuffle
+    offs = F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cur")
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
+            (acc["cur"] + F.length(x) + F.lit(1)).cast("int").alias("cur"),
+        ),
+        lambda acc: acc["offs"],
+    )
+    lead = F.transform(
+        toks, lambda x: F.length(x) - F.length(F.regexp_replace(x, _NOT_ALNUM_HEAD, ""))
+    )
+    core_len = F.transform(toks, lambda x: F.length(_strip_core(x)))
+    n_toks = F.size(toks)
+
+    def gram(i: Column, n: Column) -> Column:
+        last = i + n  # 1-based element index of the gram's last token
+        start = F.element_at(offs, i + 1) + F.element_at(lead, i + 1)
+        end = (
+            F.element_at(offs, last)
+            + F.element_at(lead, last)
+            + F.element_at(core_len, last)
+        )
+        return F.struct(
+            start.cast("int").alias("start"),
+            end.cast("int").alias("end"),
+            F.substring(text, start + 1, end - start).alias("skey"),
+        )
+
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_toks - 1, F.lit(0))),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_ngram)),
+                    lambda n: F.when((i + n <= n_toks) & (i < n_toks), gram(i, n)),
+                ),
+                lambda g: g.isNotNull() & (g["end"] > g["start"]),
+            ),
+        )
+    )
+
+
+def gazetteer_join_matches(
+    text_spans: DataFrame,
+    dict_df: DataFrame,
+    max_ngram: int = 3,
+    hot: list[str] | None = None,
+    salt_k: int = 1,
+    score: float = 0.9,
+) -> DataFrame:
+    """Gazetteer mentions via distributed join — MENTION_SCHEMA rows
+    with detector='gazetteer', same shape as the automaton path.
+
+    ``dict_df`` needs a ``surface`` column; it is NEVER collected or
+    broadcast. ``hot`` surfaces (e.g. from A4 top-k, streaming hot-key
+    counters, or known-hot dictionary entries) are salted ``salt_k``
+    ways in the core join; pass the SURFACE form (hot cores are derived
+    here).
+    """
+    d = (
+        dict_df.select("surface")
+        .distinct()
+        .select(
+            "surface",
+            _strip_core(F.col("surface")).alias("skey"),
+            (
+                F.length("surface")
+                - F.length(F.regexp_replace("surface", _NOT_ALNUM_HEAD, ""))
+            ).alias("head_len"),
+        )
+        .filter(F.length("skey") > 0)  # pure-punctuation surfaces: automaton-only
+    )
+    hot_cores = None
+    if hot:
+        import re as _re
+
+        strip = lambda s: _re.sub(  # noqa: E731 — mirror of _strip_core
+            r"[^\w]+$", "", _re.sub(r"^[^\w]+", "", s, flags=_re.UNICODE)
+        )
+        hot_cores = [strip(h) for h in hot if strip(h)]
+
+    cand = text_spans.select(
+        "doc_id",
+        "span_idx",
+        F.col("offset").alias("span_offset"),
+        F.explode(_candidate_cores(F.col("text"), max_ngram)).alias("g"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "span_offset",
+        F.col("g.start").alias("cstart"),
+        F.col("g.skey").alias("skey"),
+    )
+
+    core_hits = salted_join(cand, d, "skey", "doc_id", hot_cores or [], salt_k)
+
+    # exact-substring verification against the span text (the automaton
+    # semantic): full surface = head punctuation + core + tail
+    # punctuation must occur verbatim, with non-alnum flanks
+    spans_txt = text_spans.select("doc_id", "span_idx", "text")
+    v = core_hits.withColumn("start", F.col("cstart") - F.col("head_len")).join(
+        spans_txt, ["doc_id", "span_idx"]
+    )
+    slen = F.length("surface")
+    # flank-before guard only when start>0: Spark's substring treats
+    # pos=0 like pos=1, which would read the match's OWN first (alnum)
+    # char and falsely reject every span-initial occurrence
+    bad_before = (F.col("start") > 0) & F.substring(
+        F.col("text"), F.col("start"), 1
+    ).rlike(_ALNUM)
+    verified = v.filter(
+        (F.col("start") >= 0)
+        & (F.substring(F.col("text"), F.col("start") + 1, slen) == F.col("surface"))
+        & ~bad_before
+        & ~F.substring(F.col("text"), F.col("start") + slen + 1, 1).rlike(_ALNUM)
+    )
+    return verified.select(
+        "doc_id",
+        "span_idx",
+        "span_offset",
+        F.col("start"),
+        (F.col("start") + slen).cast("int").alias("end"),
+        F.lit("PERSON").alias("mention_type"),
+        "surface",
+        F.lit("gazetteer").alias("detector"),
+        F.lit(score).alias("score"),
+    )

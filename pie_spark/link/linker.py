@@ -26,13 +26,24 @@ from pie_spark.extract.normalize import norm_key
 W_EXACT, W_JACCARD, W_PRIOR = 0.4, 0.3, 0.3
 
 
-def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
+def link_mentions(
+    mentions: DataFrame,
+    dict_df: DataFrame,
+    broadcast_dict: bool = True,
+    hot: list[str] | None = None,
+    salt_k: int = 1,
+) -> DataFrame:
     """Link PERSON mentions to dictionary entities.
 
     Returns mention rows + (entity_id, entity_type, link_score) for the
     best candidate; mentions with no dictionary candidate are dropped
     (they contribute no MENTIONS/HAS_* triples — G3 trusts linked
     persons only).
+
+    ``broadcast_dict=False`` is the oversized-dictionary path (VERDICT
+    r03 next#8): J1 becomes a salted shuffle join (J6) — ``hot``
+    norm_keys spread ``salt_k`` ways with mention_id as the spread
+    column; AQE skew-join remains the backstop for keys A4 missed.
     """
     m = mentions.filter(F.col("mention_type") == "PERSON").withColumn(
         "norm_key", norm_key("surface")
@@ -44,7 +55,14 @@ def link_mentions(mentions: DataFrame, dict_df: DataFrame) -> DataFrame:
         "entity_type",
         "prior",
     )
-    cand = m.join(F.broadcast(d), "norm_key", "inner")
+    if broadcast_dict:
+        cand = m.join(F.broadcast(d), "norm_key", "inner")
+    else:
+        from pie_spark.canon.salting import salted_join
+
+        cand = salted_join(
+            m, d, "norm_key", "mention_id", hot or [], salt_k, how="inner"
+        )
 
     m_toks = F.split(F.lower("surface"), " ")
     d_toks = F.split(F.lower("dict_surface"), " ")

@@ -41,23 +41,35 @@ from pie_spark.link.linker import link_mentions
 from pie_spark.link.stats import hot_keys, surface_frequencies
 
 
-def collect_surfaces(dict_df: DataFrame, max_surfaces: int) -> list[str]:
-    """Distinct gazetteer surfaces for the in-UDF Aho-Corasick broadcast.
+def try_collect_surfaces(dict_df: DataFrame, max_surfaces: int) -> list[str] | None:
+    """Distinct gazetteer surfaces for the in-UDF Aho-Corasick broadcast,
+    or ``None`` when the dictionary is over the cap (→ the caller
+    switches to the shuffle-join gazetteer + non-broadcast linking).
 
     The dictionary is broadcast-small by spec, but an unbounded collect
     would OOM the driver on a pathological input — so the collect is ONE
     ``limit(N+1).toArrow()`` job (plain strings, not Row objects): an
-    oversized dictionary ships one surface past the cap, fails fast with
-    a clear error, and never runs the distinct shuffle twice."""
+    oversized dictionary ships one surface past the cap and never runs
+    the distinct shuffle twice."""
     tbl = dict_df.select("surface").distinct().limit(max_surfaces + 1).toArrow()
     if tbl.num_rows > max_surfaces:
+        return None
+    return tbl.column("surface").to_pylist()
+
+
+def collect_surfaces(dict_df: DataFrame, max_surfaces: int) -> list[str]:
+    """Strict variant of :func:`try_collect_surfaces` for callers that
+    REQUIRE the broadcast path: raises instead of degrading."""
+    surfaces = try_collect_surfaces(dict_df, max_surfaces)
+    if surfaces is None:
         raise ValueError(
             f"entity dictionary has more than {max_surfaces} distinct "
             "surfaces — too large for the in-UDF Aho-Corasick broadcast. "
             "Raise PipelineConfig.dict_max_surfaces only if the driver "
-            "has heap for it, or pre-filter the dictionary."
+            "has heap for it, or use the pipeline entrypoints, which "
+            "degrade to the shuffle-join gazetteer automatically."
         )
-    return tbl.column("surface").to_pylist()
+    return surfaces
 
 
 @dataclass
@@ -77,6 +89,7 @@ class PipelineResult:
     labels: DataFrame
     triples: DataFrame
     hot: list[str]
+    dict_mode: str = "broadcast"  # or "join_fallback" (oversized dictionary)
 
     def unpersist(self) -> None:
         self.merged_mentions.unpersist()
@@ -85,14 +98,46 @@ class PipelineResult:
 
 
 def extract_stage(
-    spark: SparkSession, cfg: PipelineConfig, docs: DataFrame, dict_df: DataFrame
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    docs: DataFrame,
+    dict_df: DataFrame,
+    mode_out: dict | None = None,
 ) -> DataFrame:
     """Explode + all detectors + overlap-merge → mention rows. This is
     the checkpointable unit: its output is deterministic per doc, so a
     resumed run unions checkpointed mentions with fresh ones and gets a
-    byte-identical downstream (SURVEY.md §5.1 resume test)."""
+    byte-identical downstream (SURVEY.md §5.1 resume test).
+
+    Dictionary-size adaptivity (VERDICT r03 next#8): when the distinct
+    surface count exceeds ``cfg.dict_max_surfaces``, the in-UDF
+    Aho-Corasick gazetteer degrades to the shuffle-join matcher
+    (gazetteer_join.py) instead of raising — the dictionary never
+    touches the driver. ``mode_out`` (if passed) receives
+    ``{"dict_mode": "broadcast" | "join_fallback"}`` so runners can
+    record the decision in lineage."""
     txt = text_spans(explode_spans(docs))
-    surfaces = collect_surfaces(dict_df, cfg.dict_max_surfaces)
+    surfaces = try_collect_surfaces(dict_df, cfg.dict_max_surfaces)
+    if mode_out is not None:
+        mode_out["dict_mode"] = "broadcast" if surfaces is not None else "join_fallback"
+    if surfaces is None:
+        from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+
+        gaz = gazetteer_join_matches(
+            txt, dict_df, hot=list(cfg.hot_surfaces), salt_k=cfg.salt_k
+        )
+        if cfg.fuse_detectors:
+            # regex+CRF still fuse into one Arrow pass; the gazetteer
+            # rides the join path and merges with them afterwards
+            fused = fused_matches(
+                txt, spark, [],
+                enable_phone=cfg.enable_phone, enable_crf=cfg.enable_crf,
+            )
+            return merge_mentions(fused, gaz)
+        detectors = [regex_matches(txt, enable_phone=cfg.enable_phone), gaz]
+        if cfg.enable_crf:
+            detectors.append(crf_matches(txt))
+        return merge_mentions(*detectors)
     if cfg.fuse_detectors:
         fused = fused_matches(
             txt, spark, surfaces,
@@ -114,13 +159,15 @@ def downstream_stage(
     docs: DataFrame,
     merged: DataFrame,
     dict_df: DataFrame,
+    dict_mode: str = "broadcast",
 ) -> PipelineResult:
     """Everything after mention extraction: linking, CC canonicalization,
     triple materialization. ``merged`` may come fresh or from a
-    checkpoint snapshot."""
+    checkpoint snapshot. ``dict_mode="join_fallback"`` switches J1 from
+    the broadcast hash join to the salted shuffle join (J6) — the
+    oversized-dictionary path, salted on the A4 hot keys."""
     spans = explode_spans(docs)
     med = media_spans(spans)
-    linked = link_mentions(merged, dict_df)
 
     # Hot-key detection (A4) feeds CC salting — deferred into a thunk so
     # the driver-union-find fast path (dictionary-scale graphs) never
@@ -128,8 +175,19 @@ def downstream_stage(
     hot: list[str] = []
 
     def _hot_nodes() -> list[str]:
-        hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
+        if not hot:
+            hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
         return ["k:" + h for h in hot]
+
+    if dict_mode == "join_fallback":
+        # oversized dictionary: J1 cannot broadcast — salted shuffle
+        # join on the hot norm_keys (the same A4 list CC salting uses)
+        hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
+        linked = link_mentions(
+            merged, dict_df, broadcast_dict=False, hot=hot, salt_k=cfg.salt_k
+        )
+    else:
+        linked = link_mentions(merged, dict_df)
 
     labels = adaptive_components(
         spark,
@@ -153,6 +211,7 @@ def downstream_stage(
         labels=labels,
         triples=triples,
         hot=hot,
+        dict_mode=dict_mode,
     )
 
 
@@ -164,7 +223,10 @@ def run(
 ) -> PipelineResult:
     """Fresh end-to-end run (no checkpointing — see
     pie_spark.runner.run_checkpointed for the resumable path)."""
-    merged = extract_stage(spark, cfg, docs, dict_df).persist(
+    mode: dict = {}
+    merged = extract_stage(spark, cfg, docs, dict_df, mode_out=mode).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return downstream_stage(spark, cfg, docs, merged, dict_df)
+    return downstream_stage(
+        spark, cfg, docs, merged, dict_df, dict_mode=mode.get("dict_mode", "broadcast")
+    )

@@ -75,6 +75,34 @@ def _params_key(cfg: "PrepConfig") -> str:
     )
 
 
+def _input_fingerprint(corpus: DataFrame, benchmark: DataFrame) -> str:
+    """Order/partitioning-independent identity of the pinned inputs:
+    (row count, exact sum of per-doc_id hashes) for corpus and benchmark.
+
+    The middle stages are corpus-GLOBAL (the module docstring explains
+    why doc-level resume is wrong here), so a checkpoint written against
+    one corpus must never be served against another — new files landing
+    or a different --corpus flag changes the doc_id set and therefore
+    this key, forcing recomputation (ADVICE r03: the config-only
+    fingerprint silently reused stale snapshots across input changes).
+    The sum is a decimal(38,0) aggregate — exact, commutative, safe from
+    long overflow at 10^12 rows. Content mutation under an UNCHANGED
+    doc_id set is not detected; that is the documented contract (same as
+    the KG runner's doc-keyed resume) — treat doc_ids as immutable
+    content addresses or point the runner at a fresh checkpoint dir."""
+
+    def fp(df: DataFrame) -> str:
+        r = df.select(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return f"{r['n']}:{r['h']}"
+
+    return fp(corpus) + "|" + fp(benchmark)
+
+
 def _latest_stage_snapshot(
     ckpt: SnapshotTable, stage: str, params: str
 ) -> int | None:
@@ -125,8 +153,11 @@ def run_prep_checkpointed(
     from pie_spark.prep.scores import combined_doc_scores
 
     run_id = new_run_id()
-    params = _params_key(cfg)
     ckpt = SnapshotTable(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    params = _params_key(cfg)
+    if ckpt is not None:
+        # two cheap count+sum jobs, only paid when checkpointing is on
+        params += "|" + _input_fingerprint(corpus, benchmark)
     resumed: list[str] = []
 
     def scores() -> DataFrame:

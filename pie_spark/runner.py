@@ -54,6 +54,7 @@ def run_checkpointed(
     resumed_docs = None
     extract_sid = None
 
+    mode: dict = {}
     if ckpt is not None and cfg.resume and ckpt.current_snapshot() is not None:
         done_docs = ckpt.scan(spark, "docs_done")
         done_mentions = ckpt.scan(spark, "mentions")
@@ -64,23 +65,24 @@ def run_checkpointed(
             # branch entirely — no Python stage, no union
             merged = done_mentions
         else:
-            fresh = extract_stage(spark, cfg, todo, dict_df)
+            fresh = extract_stage(spark, cfg, todo, dict_df, mode_out=mode)
             merged = done_mentions.unionByName(fresh)
         extract_sid = ckpt.current_snapshot()
     else:
-        merged = extract_stage(spark, cfg, docs, dict_df)
+        merged = extract_stage(spark, cfg, docs, dict_df, mode_out=mode)
 
     merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    dict_mode = mode.get("dict_mode", "broadcast")
 
     if ckpt is not None and extract_sid is None:
         extract_sid = ckpt.commit(
             {"mentions": merged, "docs_done": docs.select("doc_id")},
             meta={"stage": "extract", "run_id": run_id,
-                  "input_snapshot": input_snapshot},
+                  "input_snapshot": input_snapshot, "dict_mode": dict_mode},
         )
     extract_ms = int((time.perf_counter() - t0) * 1000)
 
-    res = downstream_stage(spark, cfg, docs, merged, dict_df)
+    res = downstream_stage(spark, cfg, docs, merged, dict_df, dict_mode=dict_mode)
 
     out_sid = None
     if cfg.output_path:
@@ -97,6 +99,6 @@ def run_checkpointed(
         out_sid = write_triples(
             out, res.triples, lineage, cfg.buckets,
             meta={"run_id": run_id, "input_snapshot": input_snapshot,
-                  "extract_snapshot": extract_sid},
+                  "extract_snapshot": extract_sid, "dict_mode": res.dict_mode},
         )
     return RunOutput(res, run_id, extract_sid, out_sid, resumed_docs)

@@ -136,3 +136,34 @@ def test_cm_sketch_guarantee(spark):
     sk2 = build_sketch(df.repartition(7), width=8)
     est2 = {r["token"]: r["est"] for r in estimate_counts(sk2, toks, width=8).collect()}
     assert est2 == est
+
+
+def test_dedup_passages_text_regex_delimiter_join(spark):
+    """ADVICE r03: splitting on a REGEX delimiter must not splice the
+    raw pattern back into the rebuilt text — a regex delimiter without
+    an explicit join_str is rejected, and join_str controls rejoining."""
+    import pytest
+
+    from pie_spark.dedup.passages import dedup_passages_text
+
+    rows = [
+        (1, "alpha beta\n\ngamma delta\n\n\nshared passage"),
+        (2, "shared passage\n\nunique tail"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    with pytest.raises(ValueError, match="join_str"):
+        dedup_passages_text(df, delimiter=r"\n{2,}")
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_passages_text(df, delimiter=r"\n{2,}", join_str="\n\n").collect()
+    }
+    # no raw pattern text in any rebuilt doc
+    assert all("\\n{2,}" not in t for t in out.values())
+    # the duplicate passage survives in exactly one doc
+    n_with_shared = sum("shared passage" in t for t in out.values())
+    assert n_with_shared == 1
+    # literal newline delimiter still round-trips unchanged
+    out2 = dedup_passages_text(df, delimiter="\n\n")
+    assert out2.count() == 2

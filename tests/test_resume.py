@@ -201,3 +201,37 @@ def test_prep_resume_ignores_mismatched_config(spark, tmp_path):
         spark, corpus, bench, PrepConfig(checkpoint_dir=ckpt_dir)
     )
     assert r3.resumed_stages == ["scores", "drop", "contam"]
+
+
+def test_prep_resume_ignores_changed_input(spark, tmp_path):
+    """A checkpoint written against one corpus must NOT be served to a
+    run over a different corpus (ADVICE r03): the middle stages are
+    corpus-global, so stale reuse would produce a silently-wrong
+    manifest. The stage key carries an input fingerprint (count + exact
+    doc_id hash sum) — grown corpus, shrunk corpus, or a different
+    benchmark slice all force recomputation; the identical input still
+    resumes everything."""
+    from pie_spark.prep.runner import PrepConfig, run_prep_checkpointed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).limit(200).localCheckpoint(eager=True)
+
+    ckpt_dir = str(tmp_path / "ck_input")
+    cfg = PrepConfig(checkpoint_dir=ckpt_dir)
+    r1 = run_prep_checkpointed(spark, corpus, bench, cfg)
+    assert r1.resumed_stages == []
+
+    # "new files landed": corpus grew → nothing may resume
+    bigger = docs.filter(F.col("doc_id") % 20 != 0).limit(260).localCheckpoint(eager=True)
+    r2 = run_prep_checkpointed(spark, bigger, bench, cfg)
+    assert r2.resumed_stages == []
+
+    # different benchmark slice, same corpus → nothing may resume
+    bench2 = docs.filter(F.col("doc_id") % 10 == 0)
+    r3 = run_prep_checkpointed(spark, corpus, bench2, cfg)
+    assert r3.resumed_stages == []
+
+    # byte-identical input + config → full resume still works
+    r4 = run_prep_checkpointed(spark, corpus, bench, cfg)
+    assert r4.resumed_stages == ["scores", "drop", "contam"]

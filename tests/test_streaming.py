@@ -91,6 +91,48 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
     assert out.count() == len(batch_keys) >= n1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state mode (ADVICE r03): the reader carries event_time
+    through DOC_EVENT_SCHEMA, the watermark attaches to it, and
+    duplicates arriving inside the window are suppressed exactly like
+    the unbounded mode — previously this path raised AnalysisException
+    unconditionally because the schema had no event_time column."""
+    from pie_spark.streaming.dedup import streaming_dedup_docs
+
+    docs = interleaved_docs(spark, SF_DIR).localCheckpoint(eager=True)
+    base = docs.limit(40).withColumn(
+        "event_time", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    # re-crawled copies 10 minutes later — inside the 1-hour window
+    recrawl = (
+        docs.limit(10)
+        .withColumn("doc_id", F.concat(F.lit("re-"), F.col("doc_id")))
+        .withColumn("event_time", F.to_timestamp(F.lit("2026-01-01 00:10:00")))
+    )
+
+    in_dir = str(tmp_path / "landing")
+    base.unionByName(recrawl).write.mode("append").parquet(in_dir)
+    out_dir = str(tmp_path / "deduped")
+    streaming_dedup_docs(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), within_watermark="1 hour"
+    )
+
+    out = spark.read.parquet(out_dir)
+    assert "event_time" in out.columns
+    assert out.groupBy("content_md5").count().filter("count > 1").count() == 0
+    # every distinct content key survived exactly once ≡ batch dedup
+    from pie_spark.dedup.exact import duplicate_groups
+
+    flat_all = base.unionByName(recrawl).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("spans", lambda sp: F.coalesce(sp["text"], F.lit("")))
+        ).alias("text"),
+    )
+    batch_keys = {r["content_md5"] for r in duplicate_groups(flat_all).collect()}
+    assert {r["content_md5"] for r in out.select("content_md5").collect()} == batch_keys
+
+
 def test_stateful_surface_counts_accumulate(spark, tmp_path):
     """applyInPandasWithState custom accumulator: per-surface totals
     grow monotonically across drains, state survives query restarts,
