@@ -18,21 +18,26 @@ the generator corpus + adversarial punctuation): a hit is emitted iff
 the full surface occurs verbatim at the span with non-alnum flanks —
 identical to AhoCorasick.finditer + _boundary_ok. Coverage contract
 (documented, not silent): a surface is found iff its alnum CORE spans
-≤ ``max_ngram`` single-space-separated tokens — true for person-name
-gazetteers (what M6 matches); a surface whose core embeds double
-spaces, or that is pure punctuation, needs the automaton path.
+≤ ``max_ngram`` single-space-separated tokens and its leading/trailing
+punctuation runs are shorter than ``CTX_PAD`` chars — true for
+person-name gazetteers (what M6 matches); a surface whose core embeds
+double spaces, that is pure punctuation, or that drags ≥``CTX_PAD``
+punctuation chars needs the automaton path.
 
 Scale shape (what shuffles at 10^12 docs):
   * candidate generation + core extraction: ONE narrow projection
     (``aggregate`` fold for char offsets — no window, no shuffle) and
-    one ``explode``; the span text itself NEVER enters a shuffle here.
-  * shuffle 1: candidate cores ⋈ dictionary cores — salted on
+    one ``explode``. Each candidate carries its core plus a
+    ``CTX_PAD``-bounded context snippet (≤ core+16 chars) — the span
+    text itself NEVER enters a shuffle and is scanned exactly once.
+  * the ONLY shuffle is candidate cores ⋈ dictionary cores — salted on
     caller-supplied hot surfaces via the already-green J6 operator
     (AQE skew-join is the backstop; explicit salting also protects the
-    downstream groupBys).
-  * shuffle 2: the (hit-sized, tiny vs corpus) core-hit set joins back
-    to spans on (doc_id, span_idx) for exact-substring verification —
-    rides the same hash(doc_id) partitioning downstream merge uses.
+    downstream groupBys). Verification (full-surface equality + flank
+    guard against the carried context) is a narrow filter after the
+    join — r04's first cut verified by re-joining span text on doc_id,
+    which the plan audit showed shuffles corpus-sized text; this shape
+    does not.
 """
 
 from __future__ import annotations
@@ -46,17 +51,24 @@ _ALNUM = r"[\p{L}\p{N}]"
 _NOT_ALNUM_HEAD = r"^[^\p{L}\p{N}]+"
 _NOT_ALNUM_TAIL = r"[^\p{L}\p{N}]+$"
 
+# context chars carried on each side of a candidate core: bounds the
+# dictionary surfaces' leading/trailing punctuation (strictly <) plus
+# one flank char. 8 covers any sane gazetteer entry ("Dr. ", " Jr.",
+# quotes, parens) while keeping candidate rows tiny.
+CTX_PAD = 8
+
 
 def _strip_core(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, _NOT_ALNUM_HEAD, ""), _NOT_ALNUM_TAIL, "")
 
 
 def _candidate_cores(text: Column, max_ngram: int) -> Column:
-    """array<struct<start:int,end:int,skey:string>> of token-aligned
-    candidate spans: for token i and length n, the span runs from the
-    first alnum char of token i to the last alnum char of token i+n-1,
-    and ``skey`` is the EXACT text substring of that span (the join key
-    against dictionary-surface cores)."""
+    """array<struct<cstart:int,cend:int,skey:string,p:int,ctx:string>>
+    of token-aligned candidate spans: for token i and length n the core
+    runs from the first alnum char of token i to the last alnum char of
+    token i+n-1; ``skey`` is the exact core substring (the join key),
+    ``ctx`` is the core ± CTX_PAD chars of surrounding text, and ``p``
+    is the core's 0-based offset within ``ctx``."""
     toks = F.split(text, " ")
     # char offset of token i = sum of len+1 over tokens before it —
     # an aggregate fold, narrow, no shuffle
@@ -85,10 +97,15 @@ def _candidate_cores(text: Column, max_ngram: int) -> Column:
             + F.element_at(lead, last)
             + F.element_at(core_len, last)
         )
+        ctx_start = F.greatest(start - F.lit(CTX_PAD), F.lit(0))
         return F.struct(
-            start.cast("int").alias("start"),
-            end.cast("int").alias("end"),
+            start.cast("int").alias("cstart"),
+            end.cast("int").alias("cend"),
             F.substring(text, start + 1, end - start).alias("skey"),
+            (start - ctx_start).cast("int").alias("p"),
+            F.substring(
+                text, ctx_start + 1, end - ctx_start + F.lit(CTX_PAD)
+            ).alias("ctx"),
         )
 
     return F.flatten(
@@ -99,7 +116,7 @@ def _candidate_cores(text: Column, max_ngram: int) -> Column:
                     F.sequence(F.lit(1), F.lit(max_ngram)),
                     lambda n: F.when((i + n <= n_toks) & (i < n_toks), gram(i, n)),
                 ),
-                lambda g: g.isNotNull() & (g["end"] > g["start"]),
+                lambda g: g.isNotNull() & (g["cend"] > g["cstart"]),
             ),
         )
     )
@@ -122,18 +139,27 @@ def gazetteer_join_matches(
     ways in the core join; pass the SURFACE form (hot cores are derived
     here).
     """
+    head_len = F.length("surface") - F.length(
+        F.regexp_replace("surface", _NOT_ALNUM_HEAD, "")
+    )
+    tail_len = F.length("surface") - F.length(
+        F.regexp_replace("surface", _NOT_ALNUM_TAIL, "")
+    )
     d = (
         dict_df.select("surface")
         .distinct()
         .select(
             "surface",
             _strip_core(F.col("surface")).alias("skey"),
-            (
-                F.length("surface")
-                - F.length(F.regexp_replace("surface", _NOT_ALNUM_HEAD, ""))
-            ).alias("head_len"),
+            head_len.cast("int").alias("head_len"),
         )
-        .filter(F.length("skey") > 0)  # pure-punctuation surfaces: automaton-only
+        # pure-punctuation or punctuation-heavy surfaces: automaton-only
+        # (coverage contract in the module docstring)
+        .filter(
+            (F.length("skey") > 0)
+            & (head_len < CTX_PAD)
+            & (tail_len < CTX_PAD)
+        )
     )
     hot_cores = None
     if hot:
@@ -153,38 +179,39 @@ def gazetteer_join_matches(
         "doc_id",
         "span_idx",
         "span_offset",
-        F.col("g.start").alias("cstart"),
+        F.col("g.cstart").alias("cstart"),
         F.col("g.skey").alias("skey"),
+        F.col("g.p").alias("p"),
+        F.col("g.ctx").alias("ctx"),
     )
 
     core_hits = salted_join(cand, d, "skey", "doc_id", hot_cores or [], salt_k)
 
-    # exact-substring verification against the span text (the automaton
-    # semantic): full surface = head punctuation + core + tail
-    # punctuation must occur verbatim, with non-alnum flanks
-    spans_txt = text_spans.select("doc_id", "span_idx", "text")
-    v = core_hits.withColumn("start", F.col("cstart") - F.col("head_len")).join(
-        spans_txt, ["doc_id", "span_idx"]
-    )
+    # exact-substring verification against the carried context (the
+    # automaton semantic): full surface = head punctuation + core + tail
+    # punctuation must occur verbatim, with non-alnum flanks. All ctx
+    # positions are guaranteed in range by the dict-side head/tail <
+    # CTX_PAD filter (see module docstring).
     slen = F.length("surface")
-    # flank-before guard only when start>0: Spark's substring treats
-    # pos=0 like pos=1, which would read the match's OWN first (alnum)
-    # char and falsely reject every span-initial occurrence
-    bad_before = (F.col("start") > 0) & F.substring(
-        F.col("text"), F.col("start"), 1
-    ).rlike(_ALNUM)
-    verified = v.filter(
-        (F.col("start") >= 0)
-        & (F.substring(F.col("text"), F.col("start") + 1, slen) == F.col("surface"))
+    text_start = F.col("cstart") - F.col("head_len")  # absolute, for output
+    cp = F.col("p") - F.col("head_len")  # surface offset within ctx, 0-based
+    # flank-before guard only when text_start>0: Spark's substring treats
+    # pos=0 like pos=1, which would read the match's OWN first char and
+    # falsely reject every span-initial occurrence
+    bad_before = (text_start > 0) & F.substring(F.col("ctx"), cp, 1).rlike(_ALNUM)
+    verified = core_hits.filter(
+        (text_start >= 0)
+        & (cp >= 0)
+        & (F.substring(F.col("ctx"), cp + 1, slen) == F.col("surface"))
         & ~bad_before
-        & ~F.substring(F.col("text"), F.col("start") + slen + 1, 1).rlike(_ALNUM)
+        & ~F.substring(F.col("ctx"), cp + slen + 1, 1).rlike(_ALNUM)
     )
     return verified.select(
         "doc_id",
         "span_idx",
         "span_offset",
-        F.col("start"),
-        (F.col("start") + slen).cast("int").alias("end"),
+        text_start.cast("int").alias("start"),
+        (text_start + slen).cast("int").alias("end"),
         F.lit("PERSON").alias("mention_type"),
         "surface",
         F.lit("gazetteer").alias("detector"),
