@@ -107,6 +107,23 @@ def stream_surface_counts(
     q.awaitTermination()
 
 
+def hot_keys_from_counts(spark: SparkSession, output_dir: str, k: int) -> list[str]:
+    """Top-k hottest norm_keys from the accumulated streaming counters —
+    the incremental replacement for the batch A4 job. Feed the result to
+    ``PipelineConfig.hot_surfaces`` (join-fallback gazetteer salting) or
+    to ``salted_join``/``salt_edges`` directly: a continuously-fed
+    landing zone learns its hot entities across drains instead of
+    re-scanning the corpus every run. The collect is limit(k)-bounded
+    (driver-safe by construction)."""
+    rows = (
+        latest_counts(spark, output_dir)
+        .orderBy(F.desc("mentions_total"), "norm_key")
+        .limit(k)
+        .collect()
+    )
+    return [r["norm_key"] for r in rows]
+
+
 def latest_counts(spark: SparkSession, output_dir: str) -> DataFrame:
     """(norm_key, mentions_total): each key's most recent running total
     across all committed epochs."""

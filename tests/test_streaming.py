@@ -180,3 +180,12 @@ def test_stateful_surface_counts_accumulate(spark, tmp_path):
         .collect()
     }
     assert c2 == truth
+
+    # the incremental hot-key list ≡ batch A4 over the same mentions
+    from pie_spark.streaming.counters import hot_keys_from_counts
+
+    got_hot = hot_keys_from_counts(spark, cnt_dir, k=5)
+    want_hot = [
+        k for k, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    assert got_hot == want_hot
