@@ -194,6 +194,43 @@ def bench_cc_skew(spark) -> dict:
     }
 
 
+def bench_gazetteer_fallback(spark, docs_path: str) -> dict:
+    """Broadcast-automaton vs shuffle-join gazetteer on the SAME bench
+    corpus (VERDICT r03 #8 scale evidence): the fallback must stay in
+    the same cost class as the AC path it replaces when the dictionary
+    outgrows broadcast, and the hit counts must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from pie_spark.extract.gazetteer import gazetteer_matches
+    from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+    from pie_spark.extract.spans import explode_spans, text_spans
+    from pie_spark.fixtures.gazetteer import hot_surfaces
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.schemas import DOC_SCHEMA
+
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_path)
+    txt = text_spans(explode_spans(docs))
+    d = entity_dict_df(spark)
+    surfaces = [r["surface"] for r in d.select("surface").distinct().collect()]
+
+    t0 = time.perf_counter()
+    n_ac = gazetteer_matches(txt, spark, surfaces).count()
+    ac_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_join = gazetteer_join_matches(
+        txt, d, hot=hot_surfaces(), salt_k=8
+    ).count()
+    join_wall = time.perf_counter() - t0
+    return {
+        "automaton_wall_sec": round(ac_wall, 3),
+        "join_wall_sec": round(join_wall, 3),
+        "hits_automaton": n_ac,
+        "hits_join": n_join,
+        "hits_equal": n_ac == n_join,
+    }
+
+
 def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = SCALING_RUNS):
     spark = _mk_session(cores, f"pie-bench-{cores}")
     try:
@@ -263,6 +300,7 @@ def main() -> None:
         qtimes["pipeline"] = round(med, 3)
         skew = bench_skew(spark, sf_dir)
         cc_skew = bench_cc_skew(spark)
+        gaz_fallback = bench_gazetteer_fallback(spark, docs_path)
         spark.stop()
 
         out = {
@@ -279,6 +317,7 @@ def main() -> None:
             "steal_pct_runs": steal_runs,
             "skew": skew,
             "cc_skew": cc_skew,
+            "gazetteer_fallback": gaz_fallback,
         }
 
         if os.environ.get("PIE_BENCH_SCALING") == "1":

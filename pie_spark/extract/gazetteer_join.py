@@ -62,32 +62,56 @@ def _strip_core(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, _NOT_ALNUM_HEAD, ""), _NOT_ALNUM_TAIL, "")
 
 
-def _candidate_cores(text: Column, max_ngram: int) -> Column:
-    """array<struct<cstart:int,cend:int,skey:string,p:int,ctx:string>>
-    of token-aligned candidate spans: for token i and length n the core
-    runs from the first alnum char of token i to the last alnum char of
-    token i+n-1; ``skey`` is the exact core substring (the join key),
-    ``ctx`` is the core ± CTX_PAD chars of surrounding text, and ``p``
-    is the core's 0-based offset within ``ctx``."""
-    toks = F.split(text, " ")
-    # char offset of token i = sum of len+1 over tokens before it —
-    # an aggregate fold, narrow, no shuffle
-    offs = F.aggregate(
-        toks,
-        F.struct(
-            F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cur")
-        ),
-        lambda acc, x: F.struct(
-            F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
-            (acc["cur"] + F.length(x) + F.lit(1)).cast("int").alias("cur"),
-        ),
-        lambda acc: acc["offs"],
+def _exploded_candidates(
+    text_spans: DataFrame, max_ngram: int, len_lo: int = 1, len_hi: int = 1 << 30
+) -> DataFrame:
+    """(doc_id, span_idx, span_offset, g) rows, one per token-aligned
+    candidate span: for token i and length n the core runs from the
+    first alnum char of token i to the last alnum char of token i+n-1;
+    ``g.skey`` is the exact core substring (the join key), ``g.ctx``
+    is the core ± CTX_PAD chars of surrounding text, ``g.p`` the
+    core's 0-based offset within ctx.
+
+    Shape (the shingles.py PERFORMANCE INVARIANT): the token array and
+    the three per-token helper arrays are bound to their OWN projection
+    attributes, and the candidate array is built directly under the
+    Generate (explode) — a Generate is not collapsed into its child
+    Project, so the offset fold / strip transforms are evaluated once
+    per ROW. The first cut referenced the raw expressions inside the
+    per-candidate lambda and Catalyst re-inlined the whole offset fold
+    into EVERY candidate element (~600×/doc — the r02 shingle
+    pathology; it turned the 1M-doc bench from ~1 min into
+    tens of minutes)."""
+    toks = F.split(F.col("text"), " ")
+    bound = text_spans.select(
+        "doc_id",
+        "span_idx",
+        F.col("offset").alias("span_offset"),
+        "text",
+        toks.alias("__toks"),
+        # char offset of token i = sum of len+1 over tokens before it —
+        # an aggregate fold, narrow, once per row
+        F.aggregate(
+            toks,
+            F.struct(
+                F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cur")
+            ),
+            lambda acc, x: F.struct(
+                F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
+                (acc["cur"] + F.length(x) + F.lit(1)).cast("int").alias("cur"),
+            ),
+            lambda acc: acc["offs"],
+        ).alias("__offs"),
+        F.transform(
+            toks,
+            lambda x: F.length(x) - F.length(F.regexp_replace(x, _NOT_ALNUM_HEAD, "")),
+        ).alias("__lead"),
+        F.transform(toks, lambda x: F.length(_strip_core(x))).alias("__core"),
     )
-    lead = F.transform(
-        toks, lambda x: F.length(x) - F.length(F.regexp_replace(x, _NOT_ALNUM_HEAD, ""))
-    )
-    core_len = F.transform(toks, lambda x: F.length(_strip_core(x)))
-    n_toks = F.size(toks)
+
+    text, t, offs = F.col("text"), F.col("__toks"), F.col("__offs")
+    lead, core_len = F.col("__lead"), F.col("__core")
+    n_toks = F.size(t)
 
     def gram(i: Column, n: Column) -> Column:
         last = i + n  # 1-based element index of the gram's last token
@@ -98,27 +122,41 @@ def _candidate_cores(text: Column, max_ngram: int) -> Column:
             + F.element_at(core_len, last)
         )
         ctx_start = F.greatest(start - F.lit(CTX_PAD), F.lit(0))
-        return F.struct(
-            start.cast("int").alias("cstart"),
-            end.cast("int").alias("cend"),
-            F.substring(text, start + 1, end - start).alias("skey"),
-            (start - ctx_start).cast("int").alias("p"),
-            F.substring(
-                text, ctx_start + 1, end - ctx_start + F.lit(CTX_PAD)
-            ).alias("ctx"),
+        # length prune BEFORE the substrings: candidates outside the
+        # dictionary's [min,max] core length can never join, and the
+        # two substring builds dominate candidate-stage cost (measured
+        # at the 1M-doc bench) — the when() guards them entirely
+        keep = (
+            (i + n <= n_toks)
+            & (i < n_toks)
+            & (end > start)
+            & (end - start >= F.lit(len_lo))
+            & (end - start <= F.lit(len_hi))
+        )
+        return F.when(
+            keep,
+            F.struct(
+                start.cast("int").alias("cstart"),
+                end.cast("int").alias("cend"),
+                F.substring(text, start + 1, end - start).alias("skey"),
+                (start - ctx_start).cast("int").alias("p"),
+                F.substring(
+                    text, ctx_start + 1, end - ctx_start + F.lit(CTX_PAD)
+                ).alias("ctx"),
+            ),
         )
 
-    return F.flatten(
+    cands = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_toks - 1, F.lit(0))),
             lambda i: F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(max_ngram)),
-                    lambda n: F.when((i + n <= n_toks) & (i < n_toks), gram(i, n)),
-                ),
-                lambda g: g.isNotNull() & (g["cend"] > g["cstart"]),
+                F.transform(F.sequence(F.lit(1), F.lit(max_ngram)), lambda n: gram(i, n)),
+                lambda g: g.isNotNull(),
             ),
         )
+    )
+    return bound.select(
+        "doc_id", "span_idx", "span_offset", F.explode(cands).alias("g")
     )
 
 
@@ -170,12 +208,20 @@ def gazetteer_join_matches(
         )
         hot_cores = [strip(h) for h in hot if strip(h)]
 
-    cand = text_spans.select(
-        "doc_id",
-        "span_idx",
-        F.col("offset").alias("span_offset"),
-        F.explode(_candidate_cores(F.col("text"), max_ngram)).alias("g"),
-    ).select(
+    # candidate length prune bounds: ONE 1-row agg over the (possibly
+    # huge, never collected) dictionary — candidates whose core length
+    # falls outside [min,max] dict core length are discarded before the
+    # expensive substring builds (measured 82 s → see BENCH r04; random
+    # 2/3-grams are mostly longer than any dictionary surface)
+    bounds = d.select(
+        F.min(F.length("skey")).alias("lo"), F.max(F.length("skey")).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty dictionary → no hits, cheap plan
+        len_lo, len_hi = 1, 0
+    else:
+        len_lo, len_hi = int(bounds["lo"]), int(bounds["hi"])
+
+    cand = _exploded_candidates(text_spans, max_ngram, len_lo, len_hi).select(
         "doc_id",
         "span_idx",
         "span_offset",

@@ -1092,6 +1092,73 @@ FROM tc JOIN qs ON tc.doc_id = qs.doc_id JOIN fp ON tc.doc_id = fp.doc_id
 """
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: bigram-LM perplexity scoring (CCNet-style quality gate) —
+    model fit on the doc_id%4==0 reference slice, every doc charged its
+    mean per-bigram cost in micro-bits. Float work happens once per
+    MODEL ROW; per-doc reduction sums exact longs (partitioning- and
+    engine-independent)."""
+    from pie_spark.text.lm import fit_bigram_lm, score_docs
+
+    d = _tp(spark, sf_dir, "documents")
+    lm = fit_bigram_lm(d.filter(F.col("doc_id") % 4 == 0), add_k=0.5)
+    return score_docs(d, lm)
+
+
+def _lm_scores_sql(add_k: float = 0.5) -> str:
+    ln2 = "0.6931471805599453"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DUCK_TOKS}, x -> x <> '') AS toks FROM documents
+),
+ref AS (SELECT toks FROM toks WHERE doc_id % 4 = 0),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM ref) _ GROUP BY 1
+),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+ref_bi AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+        FROM ref) _ GROUP BY 1, 2
+),
+cost AS (
+  SELECT w1, w2,
+         CAST(round(-(ln({add_k} + c12) - ln(c1 + {add_k} * v)) / {ln2} * 1000000)
+              AS BIGINT) AS cost_micro
+  FROM ref_bi JOIN uni USING (w1), vv
+),
+doc_bi AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                             i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+        FROM toks) _
+),
+charged AS (
+  SELECT doc_id,
+         coalesce(cost.cost_micro,
+                  CASE WHEN uni.c1 IS NOT NULL THEN
+                    CAST(round(-(ln({add_k}) - ln(uni.c1 + {add_k} * vv.v)) / {ln2} * 1000000)
+                         AS BIGINT) END,
+                  CAST(round(ln(vv.v) / {ln2} * 1000000) AS BIGINT)) AS pc
+  FROM doc_bi
+  LEFT JOIN cost USING (w1, w2)
+  LEFT JOIN uni USING (w1), vv
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(floor(CAST(sum(pc) AS BIGINT) / count(*)) AS BIGINT) AS lm_cost_micro
+  FROM charged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.lm_cost_micro,
+                (SELECT CAST(round(ln(v) / {ln2} * 1000000) AS BIGINT) FROM vv)) AS lm_cost_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide passage-level dedup map (C4-style sub-document
     dedup); fixtures have no line structure, so 3-word blocks stand in
@@ -2026,7 +2093,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
     "temperature_sample": (q_temperature_sample, _temperature_sample_sql()),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    # hash_sample folded to the pytest oracle (test_oracle.FOLDED): its
+    # threshold machinery is already driver-covered by stratified/
+    # temperature_sample, and the slot funds the higher-information
+    # bigram-LM row under the 50-query cap
+    "lm_scores": (q_lm_scores, _lm_scores_sql()),
     "cm_heavy_hitters": (q_cm_heavy_hitters, _cm_heavy_hitters_sql()),
     "minhash_neardups": (q_minhash_neardups, _minhash_neardups_sql()),
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),

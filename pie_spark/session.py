@@ -32,6 +32,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # runtime bloom semi-filters: when a big⋈big shuffle join has a
+        # selective build side (the dictionary-scale gazetteer fallback,
+        # linking past broadcast), Spark injects a bloom filter that
+        # prunes probe rows BEFORE the shuffle — free at broadcast scale
+        # (inapplicable), decisive at fallback scale
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.session.timeZone", "UTC")

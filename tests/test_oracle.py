@@ -66,6 +66,7 @@ def _folded_queries():
         ("passage_dedup", q.q_passage_dedup, q.SQL_PASSAGE_DEDUP),
         ("media_resize", q.q_media_resize, q._media_resize_sql()),
         ("media_frame_sample", q.q_media_frame_sample, q._SQL_MEDIA_FRAME_SAMPLE),
+        ("hash_sample", q.q_hash_sample, q.SQL_HASH_SAMPLE),
     ]
 
 
