@@ -188,3 +188,41 @@ def test_stratified_sample_rates_broadcast(spark):
     rates = temperature_rates(d, "lang", temperature=0.7)
     plan = _explain(stratified_sample(d, rates, "lang"), "simple")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_gazetteer_join_candidates_stay_bound(spark, docs_parquet):
+    """The candidate stage's helper arrays (__offs/__lead/__core) must
+    survive as Project attributes under the Generate — if Catalyst
+    collapses them away, the offset fold is re-inlined into EVERY
+    candidate element (~600×/doc; measured 10+ min vs 78 s at the
+    1M-doc bench — the r02 shingle pathology, second occurrence)."""
+    from pie_spark.extract.gazetteer_join import _exploded_candidates
+    from pie_spark.schemas import DOC_SCHEMA
+
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs))
+    plan = _explain(_exploded_candidates(txt, 3, 5, 30))
+    assert "__offs" in plan and "__lead" in plan and "__core" in plan
+    assert "Generate" in plan
+    # and the full matcher never drops into Python or sorts
+    from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+    from pie_spark.fixtures.gen import entity_dict_df
+
+    full = _explain(gazetteer_join_matches(txt, entity_dict_df(spark)))
+    assert "EvalPython" not in full
+    assert "Sort " not in full.replace("SortMergeJoin", "")
+
+
+def test_lm_scoring_joins_are_broadcast_no_python(spark):
+    """X15: the scorer's model joins broadcast (vocabulary-sized side)
+    and the whole plan stays JVM-side with partial aggregation."""
+    from pyspark.sql import functions as F
+
+    from pie_spark.text.lm import fit_bigram_lm, score_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    lm = fit_bigram_lm(docs.filter(F.col("doc_id") % 4 == 0))
+    plan = _explain(score_docs(docs, lm))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
