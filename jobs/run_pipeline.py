@@ -32,6 +32,10 @@ def main() -> None:
     p.add_argument("--hot-k", type=int, default=100)
     p.add_argument("--salt-k", type=int, default=8)
     p.add_argument("--no-crf", action="store_true")
+    p.add_argument("--dict-max-surfaces", type=int, default=5_000_000,
+                   help="broadcast cap; a bigger dictionary switches to the "
+                        "shuffle-join gazetteer + salted linking (dict_mode "
+                        "recorded in lineage)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +62,7 @@ def main() -> None:
         hot_k=args.hot_k,
         salt_k=args.salt_k,
         enable_crf=not args.no_crf,
+        dict_max_surfaces=args.dict_max_surfaces,
     )
     if args.input_format == "fixtures":
         docs = interleaved_docs(spark, args.input)
