@@ -14,15 +14,21 @@ with the automaton's non-alnum flank guard — the dictionary never
 touches the driver.
 
 Parity with the automaton (asserted by tests/test_gazetteer_join.py on
-the generator corpus + adversarial punctuation): a hit is emitted iff
-the full surface occurs verbatim at the span with non-alnum flanks —
-identical to AhoCorasick.finditer + _boundary_ok. Coverage contract
-(documented, not silent): a surface is found iff its alnum CORE spans
-≤ ``max_ngram`` single-space-separated tokens and its leading/trailing
-punctuation runs are shorter than ``CTX_PAD`` chars — true for
-person-name gazetteers (what M6 matches); a surface whose core embeds
-double spaces, that is pure punctuation, or that drags ≥``CTX_PAD``
-punctuation chars needs the automaton path.
+the generator corpus + adversarial punctuation + a seeded fuzz batch):
+every emitted hit is a verbatim substring occurrence of the full
+surface with non-alnum flanks — exactly what AhoCorasick.finditer +
+_boundary_ok accepts, so join hits ⊆ automaton hits ALWAYS (soundness
+is unconditional). Coverage contract (documented, not silent): an
+automaton hit is also found here iff its occurrence is TOKEN-ALIGNED —
+the surface's alnum core starts at the first alnum char of some token
+and ends at the last alnum char of a token ≤ ``max_ngram``-1 later —
+and the surface's own leading/trailing punctuation runs are shorter
+than ``CTX_PAD``. True for person-name gazetteers over prose (what M6
+matches). Known non-covered shapes, automaton-path-only by design: a
+surface buried mid-token behind INTERIOR punctuation
+(``aa-Whitfield-bb`` — flanks are non-alnum but the occurrence is not
+token-aligned), cores embedding doubled spaces, pure-punctuation
+surfaces.
 
 Scale shape (what shuffles at 10^12 docs):
   * candidate generation + core extraction: ONE narrow projection

@@ -131,3 +131,73 @@ def test_runner_records_dict_mode_in_lineage(spark, tmp_path):
     meta = SnapshotTable(cfg.output_path).snapshots()[-1].meta
     assert meta["dict_mode"] == "join_fallback"
     out.result.unpersist()
+
+
+def test_join_parity_fuzz_batch(spark):
+    """Seeded fuzz: 400 random docs assembled from gazetteer surfaces
+    wrapped in random punctuation, decoy words, digit runs, doubled
+    spaces, and deliberate NON-token-aligned burials. Invariants:
+
+    * soundness — every join hit is also an automaton hit (always);
+    * completeness on the covered class — every automaton hit at a
+      token-aligned position is found by the join path; the only
+      automaton-exclusive hits are mid-token burials (interior
+      punctuation), the documented non-covered shape."""
+    import random
+
+    surfaces = [
+        "Mei Novak", "Novak Petrov", "Alice Abernathy", "Grace Whitfield",
+        "Mei Novak Jr.", "A. Bergstrom", "Hiro Takahashi",
+    ]
+    rng = random.Random(42)
+    wraps = ["", "(", ")", ",", ".", "--", "'", '"', ";"]
+    decoys = ["alpha", "beta", "9gamma", "x", "review2024", "-", "..."]
+
+    docs = []
+    buried = set()  # doc ids with deliberate mid-token burials
+    for i in range(400):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.random()
+            if kind < 0.45:
+                s = rng.choice(surfaces)
+                parts.append(rng.choice(wraps) + s + rng.choice(wraps))
+            elif kind < 0.55:
+                # NON-token-aligned burial: surface glued to alnum or
+                # hidden behind interior punctuation in one token
+                s = rng.choice(["Whitfield", "Mei"])
+                parts.append(f"aa-{s}-bb" if rng.random() < 0.5 else f"zz{s}")
+                buried.add(str(i))
+            else:
+                parts.append(rng.choice(decoys))
+        sep = "  " if rng.random() < 0.1 else " "
+        docs.append((str(i), sep.join(parts)))
+
+    spans = spark.createDataFrame(
+        [(d, 0, 0, t) for d, t in docs],
+        "doc_id string, span_idx int, offset int, text string",
+    )
+    ac = _hits(gazetteer_matches(spans, spark, surfaces))
+    jn = _hits(gazetteer_join_matches(spans, _dict_df(spark, surfaces)))
+
+    assert jn <= ac, f"unsound join hits: {sorted(jn - ac)[:5]}"
+    missed = ac - jn
+    # every miss must be a genuine non-token-aligned occurrence: the
+    # char before the match (within its token) or after it is adjacent
+    # non-space text that breaks token alignment
+    text_by_doc = dict(docs)
+    for doc_id, _si, s, e, surf in missed:
+        t = text_by_doc[doc_id]
+        tok_start = t.rfind(" ", 0, s) + 1
+        tok_end_idx = t.find(" ", e)
+        tok_end = len(t) if tok_end_idx == -1 else tok_end_idx
+        # token-aligned would mean the match's core starts at its
+        # token's first alnum char and ends at a token's last alnum
+        # char — a miss must violate that (or sit in a doubled-space
+        # doc, where split-on-single-space token edges shift)
+        first_alnum = next((j for j, c in enumerate(t[tok_start:], tok_start) if c.isalnum()), None)
+        last_alnum = next((j for j in range(tok_end - 1, tok_start - 1, -1) if t[j].isalnum()), None)
+        assert first_alnum != s or (last_alnum is not None and last_alnum + 1 != e) or "  " in t, (
+            f"token-aligned hit missed by join path: doc {doc_id} [{s},{e}) {surf!r} in {t!r}"
+        )
+    assert len(ac) > 200  # the batch actually planted plenty of hits
