@@ -155,6 +155,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: deterministic coarse centroids = the ``n_centroids``
     vectors with the smallest portable hash of their id — selected via
@@ -165,18 +166,25 @@ def ivf_topk(
     Hash order is a uniform pseudo-random sample, reproducible without
     a training pass. Assignment is a ``groupBy(vec_id).agg(min_by)`` —
     algebraic, so map-side partial aggregation collapses the
-    (broadcast) centroid fan-out before any shuffle."""
+    (broadcast) centroid fan-out before any shuffle.
+
+    Pass ``centroids`` (cent_id, cv) — e.g. from
+    ``pie_spark.ann.kmeans.train_kmeans`` — to probe TRAINED coarse
+    quantizers instead of the hash-order sample."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    hk = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-    cents = (
-        c.withColumn("hk", hk)
-        .orderBy("hk", "vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cv")
+    else:
+        hk = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+        cents = (
+            c.withColumn("hk", hk)
+            .orderBy("hk", "vec_id")
+            .limit(n_centroids)
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        )
     # assign corpus rows to nearest centroid (broadcast: centroids tiny;
     # min_by over (-csim, cent_id) = max csim with asc-id tiebreak)
     ranked = F.struct((-cosine(F.col("v"), F.col("cv"))).alias("ncs"), F.col("cent_id").alias("cid"))

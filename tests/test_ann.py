@@ -139,3 +139,133 @@ def test_cluster_centroids_deterministic(spark):
         clusters.repartition(5), emb.repartition(3)
     ).collect()[0]
     assert got2["centroid_micro"] == row["centroid_micro"]
+
+
+def _py_lloyd(vecs: dict, k: int, iters: int):
+    """Plain-Python replay of train_kmeans with IDENTICAL arithmetic:
+    left-to-right double folds for cosine, (−cos, cent_id) tiebreak,
+    exact integer-micro means. Bit-equality with the Spark trajectory
+    is the determinism claim under test."""
+    import hashlib
+    import math
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    seeds = sorted(vecs, key=lambda i: (h64(i), i))[:k]
+    cents = {i: list(vecs[i]) for i in seeds}
+    for _ in range(iters):
+        members = {}
+        for vid, v in vecs.items():
+            best = min(cents, key=lambda c: (-cos(v, cents[c]), c))
+            members.setdefault(best, []).append(v)
+        new = {}
+        for cid, cs in cents.items():
+            mem = members.get(cid)
+            if not mem:
+                new[cid] = cs
+                continue
+            dim = len(cs)
+            out = []
+            for p in range(dim):
+                s = sum(int(_round_half_up(v[p] * 1e6)) for v in mem)
+                out.append(math.floor(s / len(mem)) / 1e6)
+            new[cid] = out
+        cents = new
+    return cents
+
+
+def _round_half_up(x):
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_kmeans_matches_python_replay_exactly(spark):
+    from pie_spark.ann.kmeans import train_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    got = {
+        r["cent_id"]: list(r["cv"])
+        for r in train_kmeans(emb, k=6, iters=3).collect()
+    }
+    vecs = {
+        str(r["vec_id"]): [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    want = _py_lloyd(vecs, k=6, iters=3)
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid] == want[cid], f"centroid {cid} diverged"
+
+
+def test_kmeans_partitioning_invariant_and_feeds_ivf(spark):
+    from pyspark.sql import functions as F
+
+    from pie_spark.ann.kmeans import train_kmeans
+    from pie_spark.ann.search import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["cent_id"]: list(r["cv"]) for r in train_kmeans(emb, k=8, iters=2).collect()}
+    b = {
+        r["cent_id"]: list(r["cv"])
+        for r in train_kmeans(emb.repartition(13, "label"), k=8, iters=2).collect()
+    }
+    assert a == b
+
+    cents = train_kmeans(emb, k=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(emb, q, k=5, nprobe=3, centroids=cents)
+    assert out.count() == 15  # 3 queries × top-5
+    assert out.filter("rank = 1").count() == 3
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """3 well-separated planted directions → after training, every
+    member's nearest trained centroid is in its own planted group."""
+    import pandas as pd
+
+    from pie_spark.ann.kmeans import assign, train_kmeans
+
+    rows = []
+    for g in range(3):
+        base = [0.0] * 12
+        base[g * 4] = 1.0
+        for j in range(30):
+            v = list(base)
+            v[g * 4 + 1] = 0.05 + (j % 7) * 0.01  # small in-group jitter
+            rows.append((f"g{g}-{j}", v, g))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    # k > #groups: plain Lloyd from hash-order seeds cannot split a
+    # group it drew no seed from (no k-means++ here by design — seeding
+    # stays deterministic/RNG-free); over-provisioning centroids is the
+    # standard IVF practice anyway (nlist >> natural cluster count)
+    cents = train_kmeans(df, k=8, iters=4)
+    c = df.selectExpr(
+        "cast(vec_id as string) vec_id", "cast(embedding as array<double>) v",
+        "label",
+    )
+    assigned = assign(c.select("vec_id", "v"), cents).join(
+        c.select("vec_id", "label"), "vec_id"
+    )
+    # each trained centroid's members all share one planted label
+    mixed = (
+        assigned.groupBy("cent_id")
+        .agg({"label": "collect_set"})
+        .withColumnRenamed("collect_set(label)", "labels")
+        .filter("size(labels) > 1")
+        .count()
+    )
+    assert mixed == 0
