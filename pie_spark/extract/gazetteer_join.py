@@ -69,7 +69,11 @@ def _strip_core(col: Column) -> Column:
 
 
 def _exploded_candidates(
-    text_spans: DataFrame, max_ngram: int, len_lo: int = 1, len_hi: int = 1 << 30
+    text_spans: DataFrame,
+    max_ngram: int,
+    len_lo: int = 1,
+    len_hi: int = 1 << 30,
+    first_chars: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, span_idx, span_offset, g) rows, one per token-aligned
     candidate span: for token i and length n the core runs from the
@@ -128,10 +132,12 @@ def _exploded_candidates(
             + F.element_at(core_len, last)
         )
         ctx_start = F.greatest(start - F.lit(CTX_PAD), F.lit(0))
-        # length prune BEFORE the substrings: candidates outside the
-        # dictionary's [min,max] core length can never join, and the
-        # two substring builds dominate candidate-stage cost (measured
-        # at the 1M-doc bench) — the when() guards them entirely
+        # prune BEFORE the substrings: candidates outside the
+        # dictionary's [min,max] core length, or starting with a char
+        # no dictionary core starts with (the join-path analogue of the
+        # automaton's first-char prefilter — person gazetteers start
+        # uppercase, prose tokens mostly don't), can never join; the
+        # when() guards the expensive substring builds entirely
         keep = (
             (i + n <= n_toks)
             & (i < n_toks)
@@ -139,6 +145,8 @@ def _exploded_candidates(
             & (end - start >= F.lit(len_lo))
             & (end - start <= F.lit(len_hi))
         )
+        if first_chars is not None:
+            keep = keep & F.substring(text, start + 1, 1).isin(first_chars)
         return F.when(
             keep,
             F.struct(
@@ -226,8 +234,16 @@ def gazetteer_join_matches(
         len_lo, len_hi = 1, 0
     else:
         len_lo, len_hi = int(bounds["lo"]), int(bounds["hi"])
+    # distinct first chars of dictionary cores: a 1-row-per-char agg
+    # whose result is alphabet-bounded no matter how large the
+    # dictionary is — NOT a dictionary collect
+    first_chars = [
+        r["c"] for r in d.select(F.substring("skey", 1, 1).alias("c")).distinct().collect()
+    ]
 
-    cand = _exploded_candidates(text_spans, max_ngram, len_lo, len_hi).select(
+    cand = _exploded_candidates(
+        text_spans, max_ngram, len_lo, len_hi, first_chars
+    ).select(
         "doc_id",
         "span_idx",
         "span_offset",
