@@ -68,6 +68,15 @@ def run_checkpointed(
             fresh = extract_stage(spark, cfg, todo, dict_df, mode_out=mode)
             merged = done_mentions.unionByName(fresh)
         extract_sid = ckpt.current_snapshot()
+        # Recover dict_mode from the extract snapshot's meta (ADVICE
+        # r04): a fully-covered resume never re-probes the dictionary,
+        # and defaulting to "broadcast" would hand downstream_stage an
+        # F.broadcast() on the very dictionary the join fallback exists
+        # to keep off the driver. Partial resumes re-probe in
+        # extract_stage; setdefault keeps that (identical) answer.
+        mode.setdefault(
+            "dict_mode", ckpt.meta(extract_sid).get("dict_mode", "broadcast")
+        )
     else:
         merged = extract_stage(spark, cfg, docs, dict_df, mode_out=mode)
 

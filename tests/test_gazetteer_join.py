@@ -133,6 +133,77 @@ def test_runner_records_dict_mode_in_lineage(spark, tmp_path):
     out.result.unpersist()
 
 
+def test_long_surfaces_match_via_derived_max_ngram(spark):
+    """ADVICE r04: a fixed max_ngram=3 silently never matched 4+-token
+    surfaces in fallback mode. Derived-from-dictionary width must give
+    automaton parity on them."""
+    surfaces = ["Ana Maria de Souza", "Mei Novak", "Jean Claude van Damme Jr."]
+    texts = [
+        "we saw Ana Maria de Souza yesterday",
+        "(Ana Maria de Souza) and Mei Novak spoke",
+        "Jean Claude van Damme Jr. arrived",
+        "Ana Maria de Souzaz is not a hit",
+    ]
+    spans = _spans(spark, texts)
+    ac = _hits(gazetteer_matches(spans, spark, surfaces))
+    jn = _hits(gazetteer_join_matches(spans, _dict_df(spark, surfaces)))
+    assert jn == ac
+    assert ("0", 0, 7, 25, "Ana Maria de Souza") in jn
+    assert ("2", 0, 0, 25, "Jean Claude van Damme Jr.") in jn
+    # an explicit cap re-introduces the documented gap — only the
+    # 2-token surface survives
+    capped = _hits(gazetteer_join_matches(spans, _dict_df(spark, surfaces), max_ngram=3))
+    assert capped == {h for h in ac if h[4] == "Mei Novak"}
+
+
+def test_per_n_bounds_generate_only_dictionary_token_counts(spark):
+    """A dictionary with only 2-token surfaces must generate no 1-gram
+    or 3-gram candidates at all (the candidate array is built from the
+    dictionary's OWN token counts), and each n prunes on its own char
+    bounds."""
+    from pie_spark.extract.gazetteer_join import _exploded_candidates
+
+    spans = _spans(spark, ["Mei Novak spoke to Grace Whitfield today"])
+    cands = _exploded_candidates(spans, {2: (8, 15)}).select("g.skey").collect()
+    got = {r["skey"] for r in cands}
+    assert got == {
+        "Mei Novak", "Novak spoke", "spoke to", "to Grace",
+        "Grace Whitfield", "Whitfield today",
+    }
+    # 1-token bounds alone → no 2-grams survive
+    uni = _exploded_candidates(spans, {1: (3, 5)}).select("g.skey").collect()
+    assert {r["skey"] for r in uni} == {"Mei", "Novak", "spoke", "Grace", "today"}
+
+
+def test_strip_core_py_mirrors_spark_on_underscores(spark):
+    """ADVICE r04: the Python hot-core mirror must strip underscores
+    exactly like \\p{L}\\p{N} does on the Spark side."""
+    from pie_spark.extract.gazetteer_join import _strip_core, _strip_core_py
+
+    cases = ["_Mei Novak_", "__(A. Bergstrom)__", "Grace Whitfield", "_", "--x--", ""]
+    rows = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        F.col("s"), _strip_core(F.col("s")).alias("core")
+    ).collect()
+    for r in rows:
+        assert _strip_core_py(r["s"]) == r["core"], r["s"]
+
+
+def test_first_char_prefilter_alphabet_guard(spark):
+    """A large-alphabet dictionary (>128 distinct first chars) must skip
+    the isin prefilter (plan bloat, ~zero selectivity) and still match
+    correctly."""
+    # 200 distinct CJK-range first chars + one Latin surface we plant
+    surfaces = [chr(0x4E00 + i) + "氏" for i in range(200)] + ["Mei Novak"]
+    texts = ["report by " + chr(0x4E00) + "氏 and Mei Novak", "nothing here"]
+    spans = _spans(spark, texts)
+    jn = gazetteer_join_matches(spans, _dict_df(spark, surfaces))
+    plan = jn._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" not in plan and " IN (" not in plan
+    got = _hits(jn)
+    ac = _hits(gazetteer_matches(spans, spark, surfaces))
+    assert got == ac and ("0", 0, 17, 26, "Mei Novak") in got
+
+
 def test_join_parity_fuzz_batch(spark):
     """Seeded fuzz: 400 random docs assembled from gazetteer surfaces
     wrapped in random punctuation, decoy words, digit runs, doubled

