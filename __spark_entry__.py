@@ -38,4 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from pie_spark.queries import QUERIES
 
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    # an oracle may be registered as a zero-arg callable (lazy build —
+    # e.g. the trained-IVF oracle replays k-means training over the
+    # sf0.01 fixtures to inline centroid VALUES); resolve it here
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in QUERIES.items()
+        if sql is not None
+    }

@@ -35,7 +35,8 @@ surfaces.
 
 Scale shape (what shuffles at 10^12 docs):
   * candidate generation + core extraction: ONE narrow projection
-    (``aggregate`` fold for char offsets — no window, no shuffle) and
+    (``substring_index`` scans for char offsets — no window, no
+    shuffle, no per-token array reallocation) and
     one ``explode``. Each candidate carries its core plus a
     ``CTX_PAD``-bounded context snippet (≤ core+16 chars) — the span
     text itself NEVER enters a shuffle and is scanned exactly once.
@@ -112,44 +113,58 @@ def _exploded_candidates(
     builds).
 
     Shape (the shingles.py PERFORMANCE INVARIANT): the token array and
-    the three per-token helper arrays are bound to their OWN projection
-    attributes, and the candidate array is built directly under the
-    Generate (explode) — a Generate is not collapsed into its child
-    Project, so the offset fold / strip transforms are evaluated once
-    per ROW. The first cut referenced the raw expressions inside the
-    per-candidate lambda and Catalyst re-inlined the whole offset fold
-    into EVERY candidate element (~600×/doc — the r02 shingle
-    pathology; it turned the 1M-doc bench from ~1 min into
-    tens of minutes)."""
+    the per-token helper arrays (__offs offsets, __lc lead/core-length
+    structs) are bound to their OWN projection attributes, and the
+    candidate array is built directly under the Generate (explode) — a
+    Generate is not collapsed into its child Project, so the offset
+    scan / strip transforms are evaluated once per ROW. The first cut
+    referenced the raw expressions inside the per-candidate lambda and
+    Catalyst re-inlined the whole offset computation into EVERY
+    candidate element (~600×/doc — the r02 shingle pathology; it turned
+    the 1M-doc bench from ~1 min into tens of minutes)."""
     toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+
+    def lead_core(x: Column) -> Column:
+        # ONE head-strip regex shared by both stats (the r04 shape ran
+        # three regexp_replaces per token — lead's head strip plus
+        # _strip_core's head+tail — and the r05 profile showed these
+        # per-token helper arrays, not the gram expressions, dominate
+        # candidate generation)
+        stripped = F.regexp_replace(x, _NOT_ALNUM_HEAD, "")
+        return F.struct(
+            (F.length(x) - F.length(stripped)).cast("int").alias("lead"),
+            F.length(F.regexp_replace(stripped, _NOT_ALNUM_TAIL, ""))
+            .cast("int")
+            .alias("core"),
+        )
+
     bound = text_spans.select(
         "doc_id",
         "span_idx",
         F.col("offset").alias("span_offset"),
         "text",
         toks.alias("__toks"),
-        # char offset of token i = sum of len+1 over tokens before it —
-        # an aggregate fold, narrow, once per row
-        F.aggregate(
-            toks,
-            F.struct(
-                F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cur")
+        # char offset of token i = 1 + length of the text up to the
+        # i-th space, via substring_index — linear string scans, no
+        # per-step array reallocation (the r04 aggregate fold rebuilt
+        # the offsets array once per token: O(n²) element copies and
+        # measurably the single hottest expression in the fallback)
+        F.concat(
+            F.array(F.lit(0).cast("int")),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+                lambda i: (
+                    F.length(F.call_function("substring_index", F.col("text"), F.lit(" "), i))
+                    + 1
+                ).cast("int"),
             ),
-            lambda acc, x: F.struct(
-                F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
-                (acc["cur"] + F.length(x) + F.lit(1)).cast("int").alias("cur"),
-            ),
-            lambda acc: acc["offs"],
         ).alias("__offs"),
-        F.transform(
-            toks,
-            lambda x: F.length(x) - F.length(F.regexp_replace(x, _NOT_ALNUM_HEAD, "")),
-        ).alias("__lead"),
-        F.transform(toks, lambda x: F.length(_strip_core(x))).alias("__core"),
+        F.transform(toks, lead_core).alias("__lc"),
     )
 
     text, t, offs = F.col("text"), F.col("__toks"), F.col("__offs")
-    lead, core_len = F.col("__lead"), F.col("__core")
+    lc = F.col("__lc")
     n_toks = F.size(t)
 
     valid_ns = sorted(bounds_by_n)
@@ -157,12 +172,9 @@ def _exploded_candidates(
     def gram(i: Column, n: int) -> Column:
         lo, hi = bounds_by_n[n]
         last = i + F.lit(n)  # 1-based element index of the gram's last token
-        start = F.element_at(offs, i + 1) + F.element_at(lead, i + 1)
-        end = (
-            F.element_at(offs, last)
-            + F.element_at(lead, last)
-            + F.element_at(core_len, last)
-        )
+        last_lc = F.element_at(lc, last)
+        start = F.element_at(offs, i + 1) + F.element_at(lc, i + 1)["lead"]
+        end = F.element_at(offs, last) + last_lc["lead"] + last_lc["core"]
         ctx_start = F.greatest(start - F.lit(CTX_PAD), F.lit(0))
         # prune BEFORE the substrings: candidates outside this n's OWN
         # dictionary [min,max] core length, or starting with a char no

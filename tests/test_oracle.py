@@ -67,6 +67,9 @@ def _folded_queries():
         ("media_resize", q.q_media_resize, q._media_resize_sql()),
         ("media_frame_sample", q.q_media_frame_sample, q._SQL_MEDIA_FRAME_SAMPLE),
         ("hash_sample", q.q_hash_sample, q.SQL_HASH_SAMPLE),
+        # the driver row trains its quantizer (ann_ivf); the
+        # training-free hash-seed IVF keeps its oracle here
+        ("ann_ivf_hashseed", q.q_ann_ivf_hashseed, q._ann_ivf_sql()),
     ]
 
 
@@ -86,6 +89,8 @@ def test_registry_under_driver_cap():
     "name,fn,sql", SQL_CHECKED + FOLDED, ids=[n for n, *_ in SQL_CHECKED + FOLDED]
 )
 def test_oracle_parity(spark, ddb, name, fn, sql):
+    if callable(sql):  # lazily-built oracle (e.g. trained-IVF replay)
+        sql = sql()
     got = fn(spark, SF_DIR_01).toPandas()
     want = ddb.execute(sql).fetchdf()
     assert sorted(got.columns) == sorted(want.columns), (

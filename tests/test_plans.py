@@ -202,7 +202,7 @@ def test_gazetteer_join_candidates_stay_bound(spark, docs_parquet):
     docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
     txt = text_spans(explode_spans(docs))
     plan = _explain(_exploded_candidates(txt, {n: (5, 30) for n in (1, 2, 3)}))
-    assert "__offs" in plan and "__lead" in plan and "__core" in plan
+    assert "__offs" in plan and "__lc" in plan
     assert "Generate" in plan
     # and the full matcher never drops into Python or sorts
     from pie_spark.extract.gazetteer_join import gazetteer_join_matches
