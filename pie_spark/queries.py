@@ -436,21 +436,59 @@ WHERE NOT EXISTS (
 
 
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: explicit hot-key salted equi-join. The oracle is the PLAIN
-    join — the driver's value-hash match proves salting is
-    result-preserving."""
+    """J6 wired to the STREAMING hot-key counters end-to-end (VERDICT
+    r04 next#5): the hot list feeding the salted join comes from the
+    real incremental detector — a multi-file mention landing zone is
+    drained through ``stream_surface_counts`` (applyInPandasWithState,
+    maxFilesPerTrigger=1 forcing one micro-batch per file so the
+    cross-batch keyed state actually accumulates), then
+    ``hot_keys_from_counts`` yields the top-5 — instead of a batch A4
+    job. The oracle stays the PLAIN join: the driver's value-hash match
+    proves the whole streaming→hot-list→salting composition is
+    result-preserving (salting must be correct for ANY hot list, so
+    streaming/batch tie-break differences cannot leak into results)."""
+    import os
+    import tempfile
+
     from pie_spark.canon.salting import salted_join
+    from pie_spark.streaming.counters import (
+        hot_keys_from_counts,
+        stream_surface_counts,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    # hottest suppliers by lineitem count — deterministic top-5
-    hot = [
-        r["l_suppkey"]
-        for r in li.groupBy("l_suppkey").count()
-        .orderBy(F.desc("count"), F.asc("l_suppkey")).limit(5).collect()
-    ]
+    # landing zone: lineitem rows re-shaped as MENTION_SCHEMA files
+    # (surface = supplier key), 3 landed batches
+    base = tempfile.mkdtemp(prefix="pie_hotstream_")
+    mdir = os.path.join(base, "mentions")
+    for b in range(3):
+        (
+            li.filter(F.col("l_orderkey") % 3 == b)
+            .select(
+                F.col("l_orderkey").cast("string").alias("doc_id"),
+                F.col("l_linenumber").cast("int").alias("span_idx"),
+                F.lit(0).cast("int").alias("span_offset"),
+                F.lit(0).cast("int").alias("start"),
+                F.lit(1).cast("int").alias("end"),
+                F.lit("PERSON").alias("mention_type"),
+                F.col("l_suppkey").cast("string").alias("surface"),
+                F.lit("regex").alias("detector"),
+                F.lit(1.0).alias("score"),
+            )
+            .repartition(1)
+            .write.parquet(os.path.join(mdir, f"batch-{b:06d}"))
+        )
+    counts_dir = os.path.join(base, "counts")
+    stream_surface_counts(
+        spark, mdir, counts_dir,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    # norm_key of a digit string is the digit string itself
+    hot = [int(k) for k in hot_keys_from_counts(spark, counts_dir, k=5)]
     fact = li.withColumnRenamed("l_suppkey", "suppkey")
     dim = s.withColumnRenamed("s_suppkey", "suppkey")
     joined = salted_join(

@@ -69,17 +69,22 @@ def stream_surface_counts(
     mentions_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int = 0,
 ) -> None:
     """Drain newly-landed mention files (the ingest stage's
     ``batch-*`` dirs), accumulating per-surface totals in keyed state;
-    state persists in the streaming checkpoint across drains."""
+    state persists in the streaming checkpoint across drains.
+    ``max_files_per_trigger`` > 0 bounds each micro-batch (and, in
+    tests/driver queries, forces MULTIPLE micro-batches so the
+    cross-batch state accumulation is actually exercised)."""
     from pie_spark.extract.normalize import norm_key
 
     from pie_spark.schemas import MENTION_SCHEMA
 
-    stream = spark.readStream.schema(MENTION_SCHEMA).parquet(
-        os.path.join(mentions_dir, "batch-*")
-    )
+    reader = spark.readStream.schema(MENTION_SCHEMA)
+    if max_files_per_trigger > 0:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(os.path.join(mentions_dir, "batch-*"))
     keyed = stream.filter(F.col("mention_type") == "PERSON").select(
         norm_key(F.col("surface")).alias("norm_key")
     )
