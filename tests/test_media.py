@@ -81,3 +81,161 @@ def test_resize_requires_fake_flag():
 
     with pytest.raises(NotImplementedError):
         resize_payload(b"x", 10, 10, 5, 5)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec (VERDICT r04 next#4): stdlib encode/decode round-trip,
+# all five scanline filters, planted-payload determinism, real resample
+# ---------------------------------------------------------------------------
+
+
+def _chunked(tag, data):
+    from pie_spark.media.features import _png_chunk
+
+    return _png_chunk(tag, data)
+
+
+def test_png_round_trip_various_dims():
+    from pie_spark.media.features import decode_png, encode_png
+
+    for w, h in [(1, 1), (3, 8), (8, 3), (7, 7), (16, 2)]:
+        rgb = bytes((i * 37 + w * 11 + h) % 256 for i in range(w * h * 3))
+        png = encode_png(rgb, w, h)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png(png) == (w, h, rgb)
+
+
+def test_png_decoder_handles_all_filter_types():
+    """The decoder must unfilter Sub/Up/Average/Paeth — i.e. accept any
+    baseline encoder's output, not just this module's filter-0 choice.
+    Reference: filter the known pixels per the PNG spec in the test,
+    compress, wrap in chunks, decode, expect the original pixels."""
+    import struct
+    import zlib
+
+    from pie_spark.media.features import decode_png
+
+    w, h = 5, 4
+    rgb = bytes((i * 73 + 5) % 256 for i in range(w * h * 3))
+    stride, bpp = w * 3, 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = b""
+    prev = bytes(stride)
+    for y, ft in zip(range(h), [1, 2, 3, 4]):  # one row per filter type
+        row = rgb[y * stride : (y + 1) * stride]
+        filt = bytearray()
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                filt.append((row[i] - a) & 0xFF)
+            elif ft == 2:
+                filt.append((row[i] - b) & 0xFF)
+            elif ft == 3:
+                filt.append((row[i] - ((a + b) >> 1)) & 0xFF)
+            else:
+                filt.append((row[i] - paeth(a, b, c)) & 0xFF)
+        raw += bytes([ft]) + bytes(filt)
+        prev = row
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunked(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunked(b"IDAT", zlib.compress(raw))
+        + _chunked(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, rgb)
+
+
+def test_png_decoder_rejects_corruption():
+    from pie_spark.media.features import decode_png, encode_png
+
+    png = bytearray(encode_png(bytes(27), 3, 3))
+    assert decode_png(bytes(png))[0] == 3
+    png[40] ^= 0xFF  # flip a byte inside a chunk → CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_attach_png_payloads_real_and_deterministic(media):
+    from pie_spark.media.features import (
+        _planted_pixels,
+        _png_dims,
+        attach_png_payloads,
+        decode_png,
+    )
+
+    m = attach_png_payloads(media)
+    rows = m.filter(F.col("kind") == "image").limit(5).collect()
+    assert rows
+    for r in rows:
+        pw, ph = _png_dims(r.media_ref)
+        w, h, rgb = decode_png(bytes(r.payload))  # genuinely parses
+        assert (w, h) == (pw, ph)
+        assert rgb == _planted_pixels(r.media_ref, pw * ph * 3)
+    # audio untouched; repartitioning does not change payloads
+    a = media.filter(F.col("kind") == "audio").select("media_ref", "payload").limit(3)
+    a2 = m.filter(F.col("kind") == "audio").select("media_ref", "payload")
+    assert {(x.media_ref, bytes(x.payload)) for x in a.collect()} <= {
+        (x.media_ref, bytes(x.payload)) for x in a2.collect()
+    }
+    again = {
+        r.media_ref: bytes(r.payload)
+        for r in attach_png_payloads(media.repartition(7))
+        .filter(F.col("kind") == "image")
+        .collect()
+    }
+    for r in m.filter(F.col("kind") == "image").collect():
+        assert again[r.media_ref] == bytes(r.payload)
+
+
+def test_decode_image_png_features_from_real_pixels():
+    from pie_spark.media.features import decode_image, encode_png
+
+    w, h = 4, 6
+    rgb = bytes((i * 31) % 256 for i in range(w * h * 3))
+    f = decode_image(encode_png(rgb, w, h))
+    assert len(f) == FEATURE_DIM
+    assert f[0] == w / 256.0 and f[1] == h / 256.0
+    # modular class means recomputed independently
+    import numpy as np
+
+    for i in range(FEATURE_DIM - 2):
+        cls = [rgb[t] for t in range(i, len(rgb), FEATURE_DIM - 2)]
+        assert f[i + 2] == np.float32(sum(cls) / (255.0 * len(cls)))
+
+
+def test_resample_png_images_nearest_neighbor_exact(spark, media):
+    from pie_spark.media.features import (
+        attach_png_payloads,
+        decode_png,
+        resample_png_images,
+    )
+
+    m = attach_png_payloads(media)
+    out = {r.media_ref: r for r in resample_png_images(m).limit(4).collect()}
+    src = {
+        r.media_ref: bytes(r.payload)
+        for r in m.filter(F.col("kind") == "image").collect()
+    }
+    assert out
+    for ref, r in out.items():
+        w, h, rgb = decode_png(src[ref])
+        m_ = min(8 * h, 8 * w)
+        tw, th = max(1, m_ // h), max(1, m_ // w)
+        assert (r.out_width, r.out_height) == (tw, th)
+        want = bytes(
+            rgb[(((y * h) // th) * w + (x * w) // tw) * 3 + c]
+            for y in range(th)
+            for x in range(tw)
+            for c in range(3)
+        )
+        assert bytes(r.payload) == want
