@@ -34,7 +34,10 @@ import sys
 import tempfile
 import time
 
-N_RUNS = 5           # median of 5: robust to hypervisor-steal outliers
+N_RUNS = 5           # minimum measured runs
+MAX_RUNS = 10        # sampling cap while hunting clean windows
+CLEAN_STEAL_PCT = 1.0  # a run is "clean" below this hypervisor-steal %
+N_CLEAN = 3          # keep sampling until this many clean runs (or cap)
 SCALING_RUNS = 3     # per parallelism level in the (slow) scaling mode
 SCALING_CORES = (4, 16)
 
@@ -245,6 +248,24 @@ def bench_at(cores: int, sf_dir: str, docs_path: str, n_runs: int = SCALING_RUNS
         spark.stop()
 
 
+def ladder_point(docs_path: str) -> None:
+    """ONE warm pipeline measurement over a pre-materialized corpus,
+    meant to be invoked as a SUBPROCESS per run (VERDICT r04 next#7):
+    back-to-back 5M-doc runs inside one JVM degrade 112→149 s from
+    accumulated heap pressure — a measurement artifact, not a code
+    regression — so each ladder run now gets its own process/JVM.
+    Prints one JSON line. Driven by tools/ladder.py."""
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _mk_session(cores, "pie-bench-ladder")
+    _run_pipeline(spark, docs_path)  # warmup (JIT, codegen, Arrow init)
+    s0 = _cpu_stat()
+    wall, n = _run_pipeline(spark, docs_path)
+    steal = _steal_pct(s0, _cpu_stat())
+    spark.stop()
+    print(json.dumps({"wall_sec": round(wall, 3),
+                      "steal_pct": round(steal, 2), "triples": n}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -267,15 +288,29 @@ def main() -> None:
         # steal band.
         spark = _mk_session(cores, "pie-bench-pipeline")
         _run_pipeline(spark, docs_path)  # warmup (JIT, codegen, Arrow init)
+        # Steal-normalized protocol (VERDICT r04 next#3): sample until
+        # N_CLEAN runs land in a clean window (steal < CLEAN_STEAL_PCT
+        # %), capped at MAX_RUNS. The HEADLINE `value` is the median of
+        # the clean runs — two rounds produced phantom cross-round
+        # swings because the raw median landed on a stolen run in one
+        # round and a clean one in the next; the raw all-runs median is
+        # still reported alongside as `value_raw_median`.
         timed = []
-        for _ in range(N_RUNS):
+        while len(timed) < MAX_RUNS:
             s0 = _cpu_stat()
             wall, _n = _run_pipeline(spark, docs_path)
             timed.append((wall, _steal_pct(s0, _cpu_stat())))
+            n_clean = sum(1 for _, s in timed if s < CLEAN_STEAL_PCT)
+            if len(timed) >= N_RUNS and n_clean >= N_CLEAN:
+                break
         spark.stop()
         timed.sort()
         walls = [w for w, _ in timed]
-        med = walls[N_RUNS // 2]
+        raw_med = walls[len(walls) // 2]
+        clean = sorted(w for w, s in timed if s < CLEAN_STEAL_PCT)
+        # headline = clean median when enough clean runs exist; honest
+        # fallback to the raw median (flagged) on an all-stolen session
+        med = clean[len(clean) // 2] if len(clean) >= N_CLEAN else raw_med
         steal_runs = [round(s, 2) for _, s in timed]
 
         # headline operator queries in a separate session (one timed run
@@ -315,6 +350,9 @@ def main() -> None:
             "cores": cores,
             "runs": [round(w, 3) for w in walls],
             "steal_pct_runs": steal_runs,
+            "clean_runs": [round(w, 3) for w in clean],
+            "value_raw_median": round(raw_med, 3),
+            "headline_is_clean_median": len(clean) >= N_CLEAN,
             "skew": skew,
             "cc_skew": cc_skew,
             "gazetteer_fallback": gaz_fallback,
@@ -339,4 +377,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ladder-point":
+        ladder_point(sys.argv[2])
+    else:
+        main()
