@@ -2119,17 +2119,26 @@ def q_media_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload_md5 hashes the resampled RGB buffer. The oracle reproduces
     that buffer from the planted-pixel recipe (sound because
     decode∘encode is the identity)."""
-    from pie_spark.media.features import resample_png_images, sample_frames
+    from pie_spark.media.features import (
+        attach_png_payloads,
+        resample_png_images,
+        sample_frames,
+    )
 
-    media = _media_table(spark, sf_dir)
-    resized = resample_png_images(media).select(
+    # frames only read duration metadata — the native (no-PNG-attach)
+    # table keeps the Python payload-synthesis stage off that branch;
+    # the resample branch attaches PNGs to IMAGE rows only (the filter
+    # sits below the Python stages, not after them)
+    media_native = _media_table(spark, sf_dir, png=False)
+    media_img = attach_png_payloads(media_native.filter(F.col("kind") == "image"))
+    resized = resample_png_images(media_img).select(
         "doc_id", "media_ref", F.lit("resize").alias("op"),
         F.col("out_width").cast("int").alias("out_width"),
         F.col("out_height").cast("int").alias("out_height"),
         F.lit(-1).cast("long").alias("ts_ms"),
         F.md5(F.hex("payload")).alias("payload_md5"),
     )
-    frames = sample_frames(media, every_ms=5000).select(
+    frames = sample_frames(media_native, every_ms=5000).select(
         "doc_id", "media_ref", F.lit("frame").alias("op"),
         F.lit(-1).cast("int").alias("out_width"),
         F.lit(-1).cast("int").alias("out_height"),
