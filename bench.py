@@ -286,24 +286,32 @@ def main() -> None:
         # drift VERDICT flagged). Hypervisor steal% is sampled around
         # each run so rounds are comparable across the box's documented
         # steal band.
-        spark = _mk_session(cores, "pie-bench-pipeline")
-        _run_pipeline(spark, docs_path)  # warmup (JIT, codegen, Arrow init)
-        # Steal-normalized protocol (VERDICT r04 next#3): sample until
-        # N_CLEAN runs land in a clean window (steal < CLEAN_STEAL_PCT
-        # %), capped at MAX_RUNS. The HEADLINE `value` is the median of
-        # the clean runs — two rounds produced phantom cross-round
-        # swings because the raw median landed on a stolen run in one
-        # round and a clean one in the next; the raw all-runs median is
-        # still reported alongside as `value_raw_median`.
+        # Steal-normalized protocol (VERDICT r04 next#3), with each
+        # measured run in its OWN subprocess/JVM (the r04 next#7 insight
+        # extended to the 1M medians: the first r05 measurement showed
+        # sequential in-JVM runs DEGRADE — later runs were 25% slower at
+        # near-zero steal while earlier runs were fast at 2% steal, i.e.
+        # heap/JVM aging, not the hypervisor, dominated the in-session
+        # spread; per-process runs make the remaining variance actually
+        # BE steal). Sample until N_CLEAN runs land in a clean window
+        # (steal < CLEAN_STEAL_PCT %), capped at MAX_RUNS. The HEADLINE
+        # `value` is the clean-run median; the raw all-runs median is
+        # reported alongside as `value_raw_median`.
+        import subprocess
+
         timed = []
         while len(timed) < MAX_RUNS:
-            s0 = _cpu_stat()
-            wall, _n = _run_pipeline(spark, docs_path)
-            timed.append((wall, _steal_pct(s0, _cpu_stat())))
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--ladder-point", docs_path],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(res.stdout.strip().splitlines()[-1])
+            timed.append((r["wall_sec"], r["steal_pct"]))
             n_clean = sum(1 for _, s in timed if s < CLEAN_STEAL_PCT)
             if len(timed) >= N_RUNS and n_clean >= N_CLEAN:
                 break
-        spark.stop()
         timed.sort()
         walls = [w for w, _ in timed]
         raw_med = walls[len(walls) // 2]
