@@ -5,9 +5,12 @@ realized as a deterministic **feature-emission + CRF-transition Viterbi
 decoder in numpy**: per-token feature vectors (casing, shape, lexicon
 flags) → linear emission scores; a hand-set transition matrix enforces
 BIO structure (I-X only after B-X/I-X); exact Viterbi decoding over
-tags {O, B-PER, I-PER, B-ADDR, I-ADDR}. Fixed weights ⇒ bit-identical
-output across runs / partitionings / cluster sizes, which the P/R gate
-and the resume test require (SURVEY.md §5.4, §7.3 item 2).
+tags {O, B-PER, I-PER, B-ADDR, I-ADDR}. Weights are INTEGER deci-units
+(r05: original values × 10 — argmax is scale-invariant, so decode
+semantics are unchanged) ⇒ every lattice score is an exact int64:
+bit-identical output across runs / partitionings / cluster sizes /
+ENGINES, which the P/R gate, the resume test, and the DuckDB Viterbi
+oracle (extract/tagger_sql.py) require (SURVEY.md §5.4, §7.3 item 2).
 
 Execution: Iterator-style pandas UDF (one Arrow round trip per batch;
 weights + lexicons are module constants materialized once per Python
@@ -54,51 +57,60 @@ _TOKEN_RE = re.compile(r"\S+")
 _WORD = re.compile(r"[A-Za-z]+")
 
 
+# All weights are INTEGER deci-units (original hand-set values × 10;
+# r05). Viterbi argmax is invariant under positive scaling, so the
+# decode semantics are unchanged — but every score is now an exact
+# int64 on every engine, which (a) removes the float-associativity /
+# exact-tie hazard from the decode entirely and (b) is what lets the
+# DuckDB oracle (extract/tagger_sql.py) replay the full DP
+# bit-identically in recursive SQL.
+
+
 def _emission_weights() -> np.ndarray:
-    W = np.zeros((5, len(FEATS)))
-    W[O, BIAS] = 0.5
-    W[O, LOWER] = 2.0
-    W[O, DIGIT_LONG] = 2.0
-    W[BPER, CAP] = 1.5
-    W[BPER, ALLCAPS] = 1.2
-    W[BPER, FIRSTLEX] = 2.0
-    W[BPER, INITDOT] = 1.5
-    W[BPER, LOWER] = -3.0
-    W[BPER, HASDIGIT] = -3.0
-    W[IPER, CAP] = 1.2
-    W[IPER, ALLCAPS] = 1.2
-    W[IPER, LASTLEX] = 2.5
-    W[IPER, LOWER] = -3.0
-    W[IPER, HASDIGIT] = -3.0
-    W[BADDR, DIGIT_SHORT] = 2.5
-    W[BADDR, LOWER] = -2.0
-    W[BADDR, CAP] = -1.0
-    W[IADDR, STREETLEX] = 2.5
-    W[IADDR, SUFFIX] = 3.0
-    W[IADDR, CAP] = 0.5
-    W[IADDR, LOWER] = -2.0
-    W[IADDR, HASDIGIT] = -2.0
+    W = np.zeros((5, len(FEATS)), dtype=np.int64)
+    W[O, BIAS] = 5
+    W[O, LOWER] = 20
+    W[O, DIGIT_LONG] = 20
+    W[BPER, CAP] = 15
+    W[BPER, ALLCAPS] = 12
+    W[BPER, FIRSTLEX] = 20
+    W[BPER, INITDOT] = 15
+    W[BPER, LOWER] = -30
+    W[BPER, HASDIGIT] = -30
+    W[IPER, CAP] = 12
+    W[IPER, ALLCAPS] = 12
+    W[IPER, LASTLEX] = 25
+    W[IPER, LOWER] = -30
+    W[IPER, HASDIGIT] = -30
+    W[BADDR, DIGIT_SHORT] = 25
+    W[BADDR, LOWER] = -20
+    W[BADDR, CAP] = -10
+    W[IADDR, STREETLEX] = 25
+    W[IADDR, SUFFIX] = 30
+    W[IADDR, CAP] = 5
+    W[IADDR, LOWER] = -20
+    W[IADDR, HASDIGIT] = -20
     return W
 
 
-NEG = -1e4
+NEG = -100_000
 
 
 def _transition_weights() -> np.ndarray:
-    T = np.full((5, 5), 0.0)
+    T = np.zeros((5, 5), dtype=np.int64)
     T[:, IPER] = NEG
     T[:, IADDR] = NEG
-    T[O, O] = 0.5
-    T[BPER, IPER] = 1.0
-    T[IPER, IPER] = 0.2
-    T[BADDR, IADDR] = 1.5
-    T[IADDR, IADDR] = 0.5
-    T[BADDR, O] = -1.0  # lone house-number is (almost) never an address
+    T[O, O] = 5
+    T[BPER, IPER] = 10
+    T[IPER, IPER] = 2
+    T[BADDR, IADDR] = 15
+    T[IADDR, IADDR] = 5
+    T[BADDR, O] = -10  # lone house-number is (almost) never an address
     return T
 
 
 def _start_weights() -> np.ndarray:
-    s = np.zeros(5)
+    s = np.zeros(5, dtype=np.int64)
     s[IPER] = NEG
     s[IADDR] = NEG
     return s
@@ -107,9 +119,9 @@ def _start_weights() -> np.ndarray:
 W_EMIT = _emission_weights()
 W_TRANS = _transition_weights()
 W_START = _start_weights()
-# plain-list copies for the pure-Python Viterbi inner loop
-W_TRANS_LST: list[list[float]] = W_TRANS.tolist()
-W_START_L: list[float] = W_START.tolist()
+# plain-list copies (python ints) for the pure-Python Viterbi inner loop
+W_TRANS_LST: list[list[int]] = W_TRANS.tolist()
+W_START_L: list[int] = W_START.tolist()
 
 
 def tokenize(text: str) -> list[tuple[int, int, str]]:
@@ -123,38 +135,38 @@ _INITDOT_RE = re.compile(r"[A-Z]\.")
 # string and the rows are exact 0/1 indicators, so caching is
 # bit-identical; natural-language vocabularies repeat heavily, so this
 # skips the string predicates for the vast majority of tokens.
-_FEAT_CACHE: dict[str, tuple[float, ...]] = {}
+_FEAT_CACHE: dict[str, tuple[int, ...]] = {}
 
 
-def _feat_row(t: str) -> tuple[float, ...]:
+def _feat_row(t: str) -> tuple[int, ...]:
     cached = _FEAT_CACHE.get(t)
     if cached is not None:
         return cached
-    row = [0.0] * len(FEATS)
-    row[BIAS] = 1.0
+    row = [0] * len(FEATS)
+    row[BIAS] = 1
     low = t.lower().rstrip(".,;:")
     if t[0].isupper():
         if len(t) > 1 and t.isupper():
-            row[ALLCAPS] = 1.0
+            row[ALLCAPS] = 1
         else:
-            row[CAP] = 1.0
+            row[CAP] = 1
     elif t[0].islower():
-        row[LOWER] = 1.0
+        row[LOWER] = 1
     if _INITDOT_RE.fullmatch(t):
-        row[INITDOT] = 1.0
-        row[CAP] = 0.0
+        row[INITDOT] = 1
+        row[CAP] = 0
     if t.isdigit():
-        row[DIGIT_SHORT if len(t) <= 5 else DIGIT_LONG] = 1.0
+        row[DIGIT_SHORT if len(t) <= 5 else DIGIT_LONG] = 1
     if any(c.isdigit() for c in t):
-        row[HASDIGIT] = 1.0
+        row[HASDIGIT] = 1
     if low in _FIRST:
-        row[FIRSTLEX] = 1.0
+        row[FIRSTLEX] = 1
     if low in _LAST:
-        row[LASTLEX] = 1.0
+        row[LASTLEX] = 1
     if low in _STREET:
-        row[STREETLEX] = 1.0
+        row[STREETLEX] = 1
     if low in _SUFFIXES:
-        row[SUFFIX] = 1.0
+        row[SUFFIX] = 1
     out = tuple(row)
     if len(_FEAT_CACHE) < 1_000_000:  # bound worker memory on huge vocab
         _FEAT_CACHE[t] = out
@@ -163,7 +175,7 @@ def _feat_row(t: str) -> tuple[float, ...]:
 
 def features(tokens: list[str]) -> np.ndarray:
     """Per-token feature matrix (n_tokens × n_feats), exact indicators."""
-    return np.array([_feat_row(t) for t in tokens], dtype=np.float64)
+    return np.array([_feat_row(t) for t in tokens], dtype=np.int64)
 
 
 # feature-row → emission-row cache. Each distinct indicator row's
@@ -171,10 +183,10 @@ def features(tokens: list[str]) -> np.ndarray:
 # both the scalar and the batched decode paths, so the two paths are
 # bit-identical by construction and the per-text matmul disappears from
 # the hot path entirely.
-_EM_ROW_CACHE: dict[tuple[float, ...], tuple[float, ...]] = {}
+_EM_ROW_CACHE: dict[tuple[int, ...], tuple[int, ...]] = {}
 
 
-def _em_row(feat: tuple[float, ...]) -> tuple[float, ...]:
+def _em_row(feat: tuple[int, ...]) -> tuple[int, ...]:
     em = _EM_ROW_CACHE.get(feat)
     if em is None:
         em = tuple((np.array([feat]) @ W_EMIT.T)[0].tolist())
@@ -234,11 +246,11 @@ def viterbi(emissions: np.ndarray) -> list[int]:
 # 2·(maxT − T[O][O]) from its two adjacent transitions (start weights
 # never favor non-O). Then the decode has no B-tags → no mentions → the
 # Viterbi DP can be skipped exactly. Margins are cached per feature row.
-MARGIN_SAFE = 2.0 * (float(W_TRANS[W_TRANS > -100].max()) - W_TRANS_LST[O][O])
-_MARGIN_CACHE: dict[tuple[float, ...], float] = {}
+MARGIN_SAFE = 2 * (int(W_TRANS[W_TRANS > -100].max()) - W_TRANS_LST[O][O])
+_MARGIN_CACHE: dict[tuple[int, ...], int] = {}
 
 
-def _o_margin(row: tuple[float, ...]) -> float:
+def _o_margin(row: tuple[int, ...]) -> int:
     m = _MARGIN_CACHE.get(row)
     if m is None:
         em = [sum(w * x for w, x in zip(wrow, row)) for wrow in W_EMIT.tolist()]
@@ -281,7 +293,7 @@ def _prep(text: str):
     if not toks:
         return None
     rows = [_feat_row(t[2]) for t in toks]
-    if all(_o_margin(r) > MARGIN_SAFE + 1e-9 for r in rows):
+    if all(_o_margin(r) > MARGIN_SAFE for r in rows):
         return None
     return toks, [_em_row(r) for r in rows]
 
@@ -292,7 +304,7 @@ def tag_text(text: str) -> list[dict]:
     if prep is None:
         return []
     toks, em_rows = prep
-    path = viterbi(np.array(em_rows, dtype=np.float64))
+    path = viterbi(np.array(em_rows, dtype=np.int64))
     return _mentions_from_path(path, toks, text)
 
 
@@ -307,7 +319,10 @@ def viterbi_batch(em_list: list[list[tuple[float, ...]]]) -> list[list[int]]:
     K = 5
     lens = np.array([len(e) for e in em_list])
     T_max = int(lens.max())
-    em = np.zeros((B, T_max, K))
+    # dtype follows the input: the production path feeds exact int64
+    # emission rows (integer deci-weights), while tests may probe the DP
+    # with float lattices — an int buffer would silently truncate those
+    em = np.zeros((B, T_max, K), dtype=np.asarray(em_list[0][0]).dtype)
     for b, rows in enumerate(em_list):
         em[b, : len(rows)] = rows
     delta = W_START[None, :] + em[:, 0, :]          # (B, K)

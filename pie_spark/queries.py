@@ -54,7 +54,14 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged mention set (regex ∪ gazetteer ∪ CRF after overlap dedup)."""
+    """Merged mention set (regex ∪ gazetteer ∪ CRF after overlap dedup).
+
+    Rows-only, and since r05 for exactly ONE reason: the corpus itself
+    (the numpy interleaved-document generator) is not SQL-expressible.
+    Every LAYER of this query — regex, gazetteer, the CRF Viterbi
+    decode, and the cross-detector overlap merge — is hash-checked by
+    ``pipeline_mentions_all`` on the SQL-constructed corpus (the tagger
+    via the recursive-CTE mirror in extract/tagger_sql.py)."""
     res = _pipeline(spark, sf_dir)
     return res.merged_mentions.select(
         "doc_id", "span_idx", "start", "end", "mention_type", "surface", "detector"
@@ -672,16 +679,23 @@ _GAZ_Q_SURFACES = [
     "Mei Novak", "Novak Petrov", "Diego Novak", "Novak Ulloa", "Petrov Moreau",
     *_GAZ_Q_SOLO,
 ]
+# CRF-only planted pairs (r05): lexicon FIRST+LAST combinations that are
+# NOT in _GAZ_Q_SURFACES and share no word with them — the tagger finds
+# them, the 8-surface gazetteer cannot, so detector='crf' rows survive
+# the priority merge into the hash-checked output.
+_CRF_Q_NAMES = ["Katya Silveira", "Omar Lindqvist", "Freya Jankowski"]
 
 
 def _mentions_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII corpus + planted gazetteer phrases (SQL-mirrored lockstep)."""
+    """PII corpus + planted gazetteer phrases + CRF-only name pairs
+    (SQL-mirrored lockstep)."""
     c = _t(spark, sf_dir, "customer").repartition(32, "c_custkey")
     k = F.col("c_custkey")
     pick = lambda xs: F.element_at(F.array(*[F.lit(s) for s in xs]), (k % 3 + 1).cast("int"))
     text = F.concat(
         F.lit("Met "), pick(_GAZ_Q_OVERLAP_PHRASES),
-        F.lit(" and "), pick(_GAZ_Q_SOLO), F.lit(". "),
+        F.lit(" and "), pick(_GAZ_Q_SOLO),
+        F.lit(". Saw "), pick(_CRF_Q_NAMES), F.lit(" today. "),
         _pii_text_parts(k, F.col("c_name")),
     )
     return c.select(
@@ -695,39 +709,52 @@ def _mentions_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mentions_corpus_sql() -> str:
     solo = "[" + ", ".join(f"'{s}'" for s in _GAZ_Q_SOLO) + "]"
     over = "[" + ", ".join(f"'{s}'" for s in _GAZ_Q_OVERLAP_PHRASES) + "]"
+    crf = "[" + ", ".join(f"'{s}'" for s in _CRF_Q_NAMES) + "]"
     return (
         f"'Met ' || ({over})[c_custkey % 3 + 1] || ' and ' || "
-        f"({solo})[c_custkey % 3 + 1] || '. ' || {_pii_text_sql()}"
+        f"({solo})[c_custkey % 3 + 1] || '. Saw ' || "
+        f"({crf})[c_custkey % 3 + 1] || ' today. ' || {_pii_text_sql()}"
     )
 
 
-def q_pipeline_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pipeline's merged-mention layer on its SQL-expressible slice:
-    REAL Arrow-batched regex matcher (M5) ∪ REAL Aho-Corasick gazetteer
-    (M6), resolved by the REAL overlap-merge operator (T3/W3 window
-    logic). The corpus plants overlapping gazetteer hits so the merge
-    adjudication (chain grouping, longer-span-wins, earlier-start tie)
-    is what the DuckDB mirror actually cross-checks — r03's
-    pipeline_mentions row was rows-only because the CRF tagger is not
-    SQL-expressible; this covers everything up to the tagger
-    (VERDICT r03 next#3)."""
+def q_pipeline_mentions_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's COMPLETE merged-mention layer, every detector
+    real: Arrow-batched regex matcher (M5) ∪ Aho-Corasick gazetteer
+    (M6) ∪ **CRF Viterbi tagger (T2 — new r05)**, resolved by the REAL
+    overlap-merge operator (T3/W3 window logic). The DuckDB mirror
+    replays the ENTIRE chain independently — including the full Viterbi
+    DP (tokenize → indicator features → integer emissions → recursive
+    forward pass → backpointer backtrace → BIO assembly, see
+    pie_spark/extract/tagger_sql.py; exact because the tagger's weights
+    are integer deci-units) and the cross-detector priority
+    adjudication (regex > gazetteer > crf). r03/r04 called the tagger
+    "not SQL-expressible" and left pipeline_mentions rows-only; this
+    row closes that gap on the SQL-expressible corpus (the generator
+    corpus itself remains the only non-mirrorable piece). Output keys
+    on absolute (start, end) offsets, so chain bridging by CRF spans
+    (a tagger mention can merge two gazetteer chains into one) is
+    hash-visible."""
     from pie_spark.extract.gazetteer import gazetteer_matches
     from pie_spark.extract.matchers import regex_matches
     from pie_spark.extract.merge import merge_mentions
+    from pie_spark.extract.tagger import crf_matches
 
     spans = _mentions_corpus(spark, sf_dir)
     merged = merge_mentions(
-        regex_matches(spans), gazetteer_matches(spans, spark, _GAZ_Q_SURFACES)
+        regex_matches(spans),
+        gazetteer_matches(spans, spark, _GAZ_Q_SURFACES),
+        crf_matches(spans),
     )
-    w = Window.partitionBy("doc_id", "mention_type").orderBy("start")
     return merged.select(
         "doc_id", "mention_type", "surface", "detector",
-        F.row_number().over(w).cast("long").alias("idx"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
     )
 
 
-def _pipeline_mentions_regex_sql() -> str:
+def _pipeline_mentions_all_sql() -> str:
     from pie_spark.extract.matchers import ADDRESS_RE, EMAIL_RE, PHONE_RE, SSN_RE
+    from pie_spark.extract.tagger_sql import crf_sql_ctes
 
     def lit(pattern: str) -> str:
         return pattern.replace("'", "''")
@@ -735,8 +762,7 @@ def _pipeline_mentions_regex_sql() -> str:
     rx = " UNION ALL".join(
         f"""
   SELECT doc_id, '{tname}' AS mention_type,
-         unnest(regexp_extract_all(text, '{lit(pat)}')) AS surface,
-         unnest(range(1, len(regexp_extract_all(text, '{lit(pat)}')) + 1)) AS ord
+         unnest(regexp_extract_all(text, '{lit(pat)}')) AS surface
   FROM t"""
         for tname, pat in [
             ("EMAIL", EMAIL_RE), ("SSN", SSN_RE),
@@ -744,14 +770,19 @@ def _pipeline_mentions_regex_sql() -> str:
         ]
     )
     surfaces = ", ".join(f"('{s}')" for s in _GAZ_Q_SURFACES)
-    # T3's chain logic replayed independently in SQL: running max(end)
-    # over (start asc, end desc) splits chains; winner per chain by
-    # (length desc, start asc, surface asc) — detector/priority/type are
-    # constant on the gazetteer slice, and regex↔gazetteer overlaps are
-    # impossible by corpus construction, so chains never mix detectors.
+    # The FULL T3 merge replayed independently in SQL across all three
+    # detectors: union of regex (positions via strpos — every regex
+    # surface occurs exactly once per constructed doc), gazetteer
+    # (strpos + alnum flank guard), and the recursive-CTE Viterbi
+    # mentions; then the exact Spark chain logic — running max(end)
+    # over (start asc, end desc, detector asc, type asc) splits chains,
+    # winner per chain by (priority asc, length desc, start asc,
+    # surface asc, detector asc).
     return f"""
-WITH t AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_mentions_corpus_sql()} AS text
-           FROM customer),
+WITH RECURSIVE
+t AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_mentions_corpus_sql()} AS text
+      FROM customer),
+{crf_sql_ctes('t').strip()},
 rx AS ({rx}),
 rx_valid AS (
   SELECT * FROM rx
@@ -759,10 +790,11 @@ rx_valid AS (
     substr(surface, 1, 3) NOT IN ('000', '666') AND substr(surface, 1, 3) < '900'
     AND substr(surface, 5, 2) <> '00' AND substr(surface, 8, 4) <> '0000')
 ),
-regex_part AS (
-  SELECT doc_id, mention_type, surface, 'regex' AS detector,
-         CAST(row_number() OVER (PARTITION BY doc_id, mention_type ORDER BY ord) AS BIGINT) AS idx
-  FROM rx_valid
+rxp AS (
+  SELECT r.doc_id, r.mention_type, r.surface, 'regex' AS detector,
+         strpos(t.text, r.surface) - 1 AS s,
+         strpos(t.text, r.surface) - 1 + length(r.surface) AS e
+  FROM rx_valid r JOIN t USING (doc_id)
 ),
 gaz_hits AS (
   SELECT t.doc_id, t.text, s.surface,
@@ -772,34 +804,41 @@ gaz_hits AS (
   WHERE strpos(t.text, s.surface) > 0
 ),
 gb AS (
-  SELECT * FROM gaz_hits
+  SELECT doc_id, 'PERSON' AS mention_type, surface, 'gazetteer' AS detector, s, e
+  FROM gaz_hits
   WHERE (s = 0 OR NOT regexp_matches(substr(text, s, 1), '[A-Za-z0-9]'))
     AND (e >= length(text) OR NOT regexp_matches(substr(text, e + 1, 1), '[A-Za-z0-9]'))
+),
+allm AS (
+  SELECT * FROM rxp
+  UNION ALL SELECT * FROM gb
+  UNION ALL SELECT doc_id, mention_type, surface, 'crf' AS detector, s, e
+            FROM crf_mentions
 ),
 ch AS (
   SELECT *,
          CASE WHEN max(e) OVER w_prev IS NULL OR s >= max(e) OVER w_prev
               THEN 1 ELSE 0 END AS new_group
-  FROM gb
-  WINDOW w_prev AS (PARTITION BY doc_id ORDER BY s ASC, e DESC, surface ASC
+  FROM allm
+  WINDOW w_prev AS (PARTITION BY doc_id
+                    ORDER BY s ASC, e DESC, detector ASC, mention_type ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
 grp AS (
-  SELECT *, sum(new_group) OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC, surface ASC
-                                 ROWS UNBOUNDED PRECEDING) AS g
+  SELECT *, sum(new_group) OVER (PARTITION BY doc_id
+                ORDER BY s ASC, e DESC, detector ASC, mention_type ASC
+                ROWS UNBOUNDED PRECEDING) AS g
   FROM ch
 ),
 win AS (
   SELECT * FROM grp
   QUALIFY row_number() OVER (PARTITION BY doc_id, g
-                             ORDER BY (e - s) DESC, s ASC, surface ASC) = 1
-),
-gaz_part AS (
-  SELECT doc_id, 'PERSON' AS mention_type, surface, 'gazetteer' AS detector,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) AS BIGINT) AS idx
-  FROM win
+     ORDER BY CASE detector WHEN 'regex' THEN 1 WHEN 'gazetteer' THEN 2 ELSE 3 END ASC,
+              (e - s) DESC, s ASC, surface ASC, detector ASC) = 1
 )
-SELECT * FROM regex_part UNION ALL SELECT * FROM gaz_part
+SELECT doc_id, mention_type, surface, detector,
+       CAST(s AS BIGINT) AS "start", CAST(e AS BIGINT) AS "end"
+FROM win
 """
 
 
@@ -2333,7 +2372,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     # pipeline (rows-only)
     "pipeline_triples": (q_pipeline_triples, None),
     "pipeline_mentions": (q_pipeline_mentions, None),
-    "pipeline_mentions_regex": (q_pipeline_mentions_regex, _pipeline_mentions_regex_sql()),
+    # r05: renamed from pipeline_mentions_regex — now the FULL detector
+    # union (regex ∪ gazetteer ∪ CRF Viterbi), with the tagger replayed
+    # in recursive DuckDB SQL (tagger_sql.py); lazy oracle (the CTE
+    # block is large)
+    "pipeline_mentions_all": (q_pipeline_mentions_all, _pipeline_mentions_all_sql),
     "cc_canonical_map": (q_cc_canonical_map, _cc_canonical_map_sql()),
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),

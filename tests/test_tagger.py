@@ -193,3 +193,39 @@ def test_tag_texts_mixed_extreme_lengths():
     finally:
         tg.BATCH_CELL_BUDGET = old
     assert tg.tag_texts(texts) == want
+
+
+def test_duckdb_viterbi_mirror_equals_python_tagger():
+    """The recursive-CTE Viterbi oracle (extract/tagger_sql.py) must
+    reproduce tag_text EXACTLY — same tokenization, integer lattice,
+    first-max ties, BIO assembly — on the full constructed oracle
+    corpus plus adversarial shapes (ALLCAPS aliases, 'A.' initials,
+    orphan punctuation, digits)."""
+    import duckdb
+
+    from pie_spark.extract.tagger import tag_text
+    from pie_spark.extract.tagger_sql import crf_sql_ctes
+
+    texts = {
+        "0": "Met Mei Novak Petrov and Alice Abernathy. Saw Katya Silveira today.",
+        "1": "MEI NOVAK shouted; A. Bergstrom waved from 44 Sycamore Blvd.",
+        "2": "nothing here but lowercase words and 123456789 digits",
+        "3": "Freya Jankowski, Omar Lindqvist and 12 Maple Street",
+        "4": "X",
+        "5": "Carla Rasmussen",
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in texts.items())
+    sql = f"""
+WITH RECURSIVE t(doc_id, text) AS (VALUES {vals}),
+{crf_sql_ctes('t').strip()}
+SELECT doc_id, mention_type, surface, s, e FROM crf_mentions
+"""
+    got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    want = sorted(
+        (d, m["mention_type"], m["surface"], m["start"], m["end"])
+        for d, t in texts.items()
+        for m in tag_text(t)
+    )
+    assert got == want
+    assert any(r[1] == "PERSON" for r in want) and any(r[1] == "ADDRESS" for r in want)
