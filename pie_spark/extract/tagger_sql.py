@@ -135,7 +135,7 @@ crf_offs AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS ts
   FROM crf_toks
 ),
-crf_tk AS (
+crf_tk AS MATERIALIZED (
   SELECT doc_id, tok, ts, ts + length(tok) AS te,
          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS INT) AS pos
   FROM crf_offs WHERE tok <> ''
@@ -150,7 +150,7 @@ crf_ft AS (
     regexp_matches(tok, '^[0-9]+$') AS isdig
   FROM crf_tk
 ),
-crf_fx AS (
+crf_fx AS MATERIALIZED (
   SELECT doc_id, pos, tok, ts, te,
     CASE WHEN fu AND multiupper THEN 1 ELSE 0 END AS allcaps,
     CASE WHEN fu AND NOT multiupper AND NOT idot THEN 1 ELSE 0 END AS cap,
@@ -165,7 +165,7 @@ crf_fx AS (
     CASE WHEN low IN {_lex_list(gz.STREET_SUFFIXES)} THEN 1 ELSE 0 END AS suffix
   FROM crf_ft
 ),
-crf_em AS (
+crf_em AS MATERIALIZED (
   SELECT doc_id, pos, ts, te,
     {emis}
   FROM crf_fx
@@ -179,7 +179,7 @@ crf_v AS (
     {fwd_cols}
   FROM crf_v v JOIN crf_em em ON em.doc_id = v.doc_id AND em.pos = v.pos + 1
 ),
-crf_bp AS (
+crf_bp AS MATERIALIZED (
   SELECT em.doc_id, em.pos,
     {bp_cols}
   FROM crf_v v JOIN crf_em em ON em.doc_id = v.doc_id AND em.pos = v.pos + 1

@@ -682,20 +682,28 @@ _GAZ_Q_SURFACES = [
 # CRF-only planted pairs (r05): lexicon FIRST+LAST combinations that are
 # NOT in _GAZ_Q_SURFACES and share no word with them — the tagger finds
 # them, the 8-surface gazetteer cannot, so detector='crf' rows survive
-# the priority merge into the hash-checked output.
+# the priority merge into the hash-checked output. They are also NOT
+# dictionary entities, so in the full-pipeline row they prove G3's
+# precision guard (unlinked persons emit no triples).
 _CRF_Q_NAMES = ["Katya Silveira", "Omar Lindqvist", "Freya Jankowski"]
+# Dictionary-LINKED planted persons (r05 pipeline_triples_all): real
+# entity_dict_df primary surfaces (entities 41 / 97 / 129), no word
+# shared with any other planted list — these link, canonicalize, and
+# anchor the W4 HAS_* pairing in the full-pipeline oracle.
+_DICT_Q_NAMES = ["Benjamin Bergstrom", "Rosa Castellano", "Jamal Dumont"]
 
 
 def _mentions_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII corpus + planted gazetteer phrases + CRF-only name pairs
-    (SQL-mirrored lockstep)."""
+    """PII corpus + planted gazetteer phrases + CRF-only name pairs +
+    dictionary-linked persons (SQL-mirrored lockstep)."""
     c = _t(spark, sf_dir, "customer").repartition(32, "c_custkey")
     k = F.col("c_custkey")
     pick = lambda xs: F.element_at(F.array(*[F.lit(s) for s in xs]), (k % 3 + 1).cast("int"))
     text = F.concat(
         F.lit("Met "), pick(_GAZ_Q_OVERLAP_PHRASES),
         F.lit(" and "), pick(_GAZ_Q_SOLO),
-        F.lit(". Saw "), pick(_CRF_Q_NAMES), F.lit(" today. "),
+        F.lit(". Saw "), pick(_CRF_Q_NAMES),
+        F.lit(" today. Knew "), pick(_DICT_Q_NAMES), F.lit(" well. "),
         _pii_text_parts(k, F.col("c_name")),
     )
     return c.select(
@@ -710,10 +718,12 @@ def _mentions_corpus_sql() -> str:
     solo = "[" + ", ".join(f"'{s}'" for s in _GAZ_Q_SOLO) + "]"
     over = "[" + ", ".join(f"'{s}'" for s in _GAZ_Q_OVERLAP_PHRASES) + "]"
     crf = "[" + ", ".join(f"'{s}'" for s in _CRF_Q_NAMES) + "]"
+    dct = "[" + ", ".join(f"'{s}'" for s in _DICT_Q_NAMES) + "]"
     return (
         f"'Met ' || ({over})[c_custkey % 3 + 1] || ' and ' || "
         f"({solo})[c_custkey % 3 + 1] || '. Saw ' || "
-        f"({crf})[c_custkey % 3 + 1] || ' today. ' || {_pii_text_sql()}"
+        f"({crf})[c_custkey % 3 + 1] || ' today. Knew ' || "
+        f"({dct})[c_custkey % 3 + 1] || ' well. ' || {_pii_text_sql()}"
     )
 
 
@@ -752,7 +762,18 @@ def q_pipeline_mentions_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pipeline_mentions_all_sql() -> str:
+def _merged_mention_ctes(gaz_surfaces: list[str]) -> str:
+    """Shared CTE chain replaying the FULL T3 merge across all three
+    detectors, ending in ``win`` (merged mentions: doc_id,
+    mention_type, surface, detector, s, e): union of regex (positions
+    via strpos — every regex surface occurs exactly once per
+    constructed doc), gazetteer over ``gaz_surfaces`` (strpos + alnum
+    flank guard ≡ the automaton semantic), and the recursive-CTE
+    Viterbi mentions; then the exact Spark chain logic — running
+    max(end) over (start asc, end desc, detector asc, type asc) splits
+    chains, winner per chain by (priority asc, length desc, start asc,
+    surface asc, detector asc). Expects CTE ``t(doc_id, text)``;
+    embed under WITH RECURSIVE."""
     from pie_spark.extract.matchers import ADDRESS_RE, EMAIL_RE, PHONE_RE, SSN_RE
     from pie_spark.extract.tagger_sql import crf_sql_ctes
 
@@ -769,19 +790,8 @@ def _pipeline_mentions_all_sql() -> str:
             ("PHONE", PHONE_RE), ("ADDRESS", ADDRESS_RE),
         ]
     )
-    surfaces = ", ".join(f"('{s}')" for s in _GAZ_Q_SURFACES)
-    # The FULL T3 merge replayed independently in SQL across all three
-    # detectors: union of regex (positions via strpos — every regex
-    # surface occurs exactly once per constructed doc), gazetteer
-    # (strpos + alnum flank guard), and the recursive-CTE Viterbi
-    # mentions; then the exact Spark chain logic — running max(end)
-    # over (start asc, end desc, detector asc, type asc) splits chains,
-    # winner per chain by (priority asc, length desc, start asc,
-    # surface asc, detector asc).
+    surfaces = ", ".join(f"('{s}')" for s in gaz_surfaces)
     return f"""
-WITH RECURSIVE
-t AS (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_mentions_corpus_sql()} AS text
-      FROM customer),
 {crf_sql_ctes('t').strip()},
 rx AS ({rx}),
 rx_valid AS (
@@ -830,15 +840,147 @@ grp AS (
                 ROWS UNBOUNDED PRECEDING) AS g
   FROM ch
 ),
-win AS (
+win AS MATERIALIZED (
   SELECT * FROM grp
   QUALIFY row_number() OVER (PARTITION BY doc_id, g
      ORDER BY CASE detector WHEN 'regex' THEN 1 WHEN 'gazetteer' THEN 2 ELSE 3 END ASC,
               (e - s) DESC, s ASC, surface ASC, detector ASC) = 1
-)
+)"""
+
+
+def _pipeline_mentions_all_sql() -> str:
+    return f"""
+WITH RECURSIVE
+t AS MATERIALIZED (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_mentions_corpus_sql()} AS text
+      FROM customer),
+{_merged_mention_ctes(_GAZ_Q_SURFACES).strip()}
 SELECT doc_id, mention_type, surface, detector,
        CAST(s AS BIGINT) AS "start", CAST(e AS BIGINT) AS "end"
 FROM win
+"""
+
+
+def q_pipeline_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE PIPELINE hash-checked cross-engine (r05). Runs the
+    REAL ``pipeline.run`` — fused Arrow detector stage (regex ∪
+    full-dictionary Aho-Corasick gazetteer ∪ CRF Viterbi), T3 merge,
+    J1/J2 broadcast linking with jaccard/prior scoring, G1 CC
+    canonicalization, W4 nearest-preceding PII pairing, G3 triple
+    materialization with A5 dedup — over the SQL-constructed corpus
+    with DOC_SCHEMA single-span docs and the REAL entity dictionary.
+    The oracle replays every stage independently in DuckDB: the merged
+    mentions via _merged_mention_ctes (full ~900-surface dictionary as
+    the gazetteer), linking as a VALUES join + the identical
+    left-associated float score, canonicalization via the recursive-CTE
+    closure, pairing via IGNORE-NULLS running windows, and the final
+    dedup. The corpus plants linked persons (dictionary entities),
+    unlinked CRF-only persons (G3's precision guard — they must emit
+    NOTHING), and shared-surface entities (ambiguous linking + CC
+    canonical election). pipeline_triples (generator corpus) stays
+    rows-only ONLY because the numpy corpus generator is not SQL.
+
+    Folds top1_candidate out of the driver registry (fold policy,
+    tests/test_oracle.py): J2/W1 top-1 selection is exercised here on
+    real pipeline output; the standalone query keeps its full
+    hash-checked oracle in FOLDED."""
+    from pie_spark.config import PipelineConfig
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.pipeline import run
+
+    spans = _mentions_corpus(spark, sf_dir)
+    docs = spans.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    res = run(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    return res.triples
+
+
+def _pipeline_triples_all_sql() -> str:
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+
+    entries = sorted(
+        {(e.surface, e.norm_key, e.entity_id, e.prior) for e in dictionary_entries()}
+    )
+    dict_vals = ",\n".join(
+        f"('{s}', '{k}', '{eid}', CAST({p!r} AS DOUBLE))" for s, k, eid, p in entries
+    )
+    gaz_surfaces = sorted({e.surface for e in dictionary_entries()})
+    jac = (
+        "CAST(len(list_intersect(string_split(lower(surface), ' '),"
+        " string_split(lower(dict_surface), ' '))) AS DOUBLE)"
+        " / len(list_distinct(list_concat(string_split(lower(surface), ' '),"
+        " string_split(lower(dict_surface), ' '))))"
+    )
+    return f"""
+WITH RECURSIVE
+t AS MATERIALIZED (SELECT CAST(c_custkey AS VARCHAR) AS doc_id, {_mentions_corpus_sql()} AS text
+      FROM customer),
+{_merged_mention_ctes(gaz_surfaces).strip()},
+pdict(dict_surface, norm_key, entity_id, prior) AS (VALUES {dict_vals}),
+pm AS (
+  SELECT doc_id, s, e, surface,
+         trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS norm_key
+  FROM win WHERE mention_type = 'PERSON'
+),
+sc AS (
+  SELECT pm.doc_id, pm.s, pm.e, pm.norm_key, d.entity_id,
+         CAST(0.4 AS DOUBLE) * (CASE WHEN pm.surface = d.dict_surface
+                                     THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+         + CAST(0.3 AS DOUBLE) * ({jac})
+         + CAST(0.3 AS DOUBLE) * d.prior AS link_score
+  FROM pm JOIN pdict d USING (norm_key)
+),
+best AS (
+  SELECT * FROM sc
+  QUALIFY row_number() OVER (PARTITION BY doc_id, s, e
+                             ORDER BY link_score DESC, entity_id ASC) = 1
+),
+kcanon AS ({_cc_canonical_map_sql()}),
+linked AS MATERIALIZED (
+  SELECT b.doc_id, b.s, b.link_score, k.canon_entity_id
+  FROM best b JOIN kcanon k USING (norm_key)
+),
+ev AS (
+  SELECT doc_id, s AS goff, canon_entity_id AS person, link_score,
+         CAST(NULL AS VARCHAR) AS pii_type, CAST(NULL AS VARCHAR) AS pii_value
+  FROM linked
+  UNION ALL
+  SELECT doc_id, s, NULL, NULL, mention_type, surface
+  FROM win
+  WHERE detector = 'regex'
+    AND mention_type IN ('EMAIL', 'SSN', 'PHONE', 'ADDRESS')
+),
+pr AS (
+  SELECT *, last_value(person IGNORE NULLS) OVER w AS prev_person,
+            last_value(link_score IGNORE NULLS) OVER w AS prev_score
+  FROM ev
+  WINDOW w AS (PARTITION BY doc_id ORDER BY goff
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pii_t AS (
+  SELECT prev_person AS subj, 'HAS_' || pii_type AS pred, pii_value AS obj,
+         'PERSON' AS subj_type, pii_type AS obj_type, doc_id,
+         prev_score AS confidence
+  FROM pr WHERE pii_type IS NOT NULL AND prev_person IS NOT NULL
+),
+men_t AS (
+  SELECT doc_id AS subj, 'MENTIONS' AS pred, canon_entity_id AS obj,
+         'DOC' AS subj_type, 'PERSON' AS obj_type, doc_id,
+         link_score AS confidence
+  FROM linked
+)
+SELECT subj, pred, obj, max(subj_type) AS subj_type, max(obj_type) AS obj_type,
+       doc_id, max(confidence) AS confidence
+FROM (SELECT * FROM men_t UNION ALL SELECT * FROM pii_t)
+GROUP BY subj, pred, obj, doc_id
 """
 
 
@@ -2377,6 +2519,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     # in recursive DuckDB SQL (tagger_sql.py); lazy oracle (the CTE
     # block is large)
     "pipeline_mentions_all": (q_pipeline_mentions_all, _pipeline_mentions_all_sql),
+    # r05: the WHOLE real pipeline (detectors → merge → link → CC →
+    # pair → triples) hash-checked against a full independent DuckDB
+    # replay; funds its registry slot by folding top1_candidate (J2/W1
+    # runs inside this row's linking; standalone keeps FOLDED oracle)
+    "pipeline_triples_all": (q_pipeline_triples_all, _pipeline_triples_all_sql),
     "cc_canonical_map": (q_cc_canonical_map, _cc_canonical_map_sql()),
     "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
     "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),
@@ -2392,7 +2539,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     "email_extract": (q_email_extract, SQL_EMAIL_EXTRACT),
     "ssn_validity": (q_ssn_validity, SQL_SSN_VALIDITY),
     "surface_freq": (q_surface_freq, SQL_SURFACE_FREQ),
-    "top1_candidate": (q_top1_candidate, SQL_TOP1_CANDIDATE),
+    # top1_candidate folded to FOLDED (r05): slot funds
+    # pipeline_triples_all; J2/W1 covered there on real pipeline output
     "canonical_election": (q_canonical_election, SQL_CANONICAL_ELECTION),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_BROADCAST_DIM_JOIN),
     "nearest_prev_pair": (q_nearest_prev_pair, SQL_NEAREST_PREV_PAIR),

@@ -70,6 +70,9 @@ def _folded_queries():
         # the driver row trains its quantizer (ann_ivf); the
         # training-free hash-seed IVF keeps its oracle here
         ("ann_ivf_hashseed", q.q_ann_ivf_hashseed, q._ann_ivf_sql()),
+        # r05: slot funds pipeline_triples_all; J2/W1 top-1 selection
+        # is driver-checked inside that row's linking stage
+        ("top1_candidate", q.q_top1_candidate, q.SQL_TOP1_CANDIDATE),
     ]
 
 
