@@ -307,6 +307,11 @@ def main() -> None:
                 capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if res.returncode != 0 or not res.stdout.strip():
+                raise RuntimeError(
+                    f"ladder-point child failed (rc={res.returncode}); "
+                    f"stderr tail: {res.stderr[-2000:]}"
+                )
             r = json.loads(res.stdout.strip().splitlines()[-1])
             timed.append((r["wall_sec"], r["steal_pct"]))
             n_clean = sum(1 for _, s in timed if s < CLEAN_STEAL_PCT)

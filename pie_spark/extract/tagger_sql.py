@@ -82,7 +82,10 @@ def _emission_expr(tag: int) -> str:
 
 
 def _lex_list(words) -> str:
-    return "(" + ", ".join(f"'{w.lower()}'" for w in sorted(set(words))) + ")"
+    # escape embedded quotes (O'Brien) so generated literals stay valid
+    return "(" + ", ".join(
+        "'" + w.lower().replace("'", "''") + "'" for w in sorted(set(words))
+    ) + ")"
 
 
 def _argmax_case(scores: list[str], values: list[str]) -> str:

@@ -470,32 +470,40 @@ def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # landing zone: lineitem rows re-shaped as MENTION_SCHEMA files
     # (surface = supplier key), 3 landed batches
     base = tempfile.mkdtemp(prefix="pie_hotstream_")
-    mdir = os.path.join(base, "mentions")
-    for b in range(3):
-        (
-            li.filter(F.col("l_orderkey") % 3 == b)
-            .select(
-                F.col("l_orderkey").cast("string").alias("doc_id"),
-                F.col("l_linenumber").cast("int").alias("span_idx"),
-                F.lit(0).cast("int").alias("span_offset"),
-                F.lit(0).cast("int").alias("start"),
-                F.lit(1).cast("int").alias("end"),
-                F.lit("PERSON").alias("mention_type"),
-                F.col("l_suppkey").cast("string").alias("surface"),
-                F.lit("regex").alias("detector"),
-                F.lit(1.0).alias("score"),
+    try:
+        mdir = os.path.join(base, "mentions")
+        for b in range(3):
+            (
+                li.filter(F.col("l_orderkey") % 3 == b)
+                .select(
+                    F.col("l_orderkey").cast("string").alias("doc_id"),
+                    F.col("l_linenumber").cast("int").alias("span_idx"),
+                    F.lit(0).cast("int").alias("span_offset"),
+                    F.lit(0).cast("int").alias("start"),
+                    F.lit(1).cast("int").alias("end"),
+                    F.lit("PERSON").alias("mention_type"),
+                    F.col("l_suppkey").cast("string").alias("surface"),
+                    F.lit("regex").alias("detector"),
+                    F.lit(1.0).alias("score"),
+                )
+                .repartition(1)
+                .write.parquet(os.path.join(mdir, f"batch-{b:06d}"))
             )
-            .repartition(1)
-            .write.parquet(os.path.join(mdir, f"batch-{b:06d}"))
+        counts_dir = os.path.join(base, "counts")
+        stream_surface_counts(
+            spark, mdir, counts_dir,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            max_files_per_trigger=1,
         )
-    counts_dir = os.path.join(base, "counts")
-    stream_surface_counts(
-        spark, mdir, counts_dir,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        max_files_per_trigger=1,
-    )
-    # norm_key of a digit string is the digit string itself
-    hot = [int(k) for k in hot_keys_from_counts(spark, counts_dir, k=5)]
+        # norm_key of a digit string is the digit string itself
+        hot = [int(k) for k in hot_keys_from_counts(spark, counts_dir, k=5)]
+    finally:
+        # the hot list is already on the driver; the landing zone /
+        # checkpoint / counts dirs (3 lineitem-sized parquet copies)
+        # would otherwise leak per invocation (ADVICE r05)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     fact = li.withColumnRenamed("l_suppkey", "suppkey")
     dim = s.withColumnRenamed("s_suppkey", "suppkey")
     joined = salted_join(
@@ -790,7 +798,9 @@ def _merged_mention_ctes(gaz_surfaces: list[str]) -> str:
             ("PHONE", PHONE_RE), ("ADDRESS", ADDRESS_RE),
         ]
     )
-    surfaces = ", ".join(f"('{s}')" for s in gaz_surfaces)
+    surfaces = ", ".join(
+        "('" + s.replace("'", "''") + "')" for s in gaz_surfaces
+    )
     return f"""
 {crf_sql_ctes('t').strip()},
 rx AS ({rx}),
@@ -909,8 +919,12 @@ def _pipeline_triples_all_sql() -> str:
     entries = sorted(
         {(e.surface, e.norm_key, e.entity_id, e.prior) for e in dictionary_entries()}
     )
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
     dict_vals = ",\n".join(
-        f"('{s}', '{k}', '{eid}', CAST({p!r} AS DOUBLE))" for s, k, eid, p in entries
+        f"('{_q(s)}', '{_q(k)}', '{_q(eid)}', CAST({p!r} AS DOUBLE))"
+        for s, k, eid, p in entries
     )
     gaz_surfaces = sorted({e.surface for e in dictionary_entries()})
     jac = (
@@ -1995,6 +2009,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.ann.kmeans import train_kmeans
     from pie_spark.ann.search import ivf_topk
 
+    # record the fixture dir so the lazily-built oracle replays training
+    # over the SAME embeddings table this query trained on (ADVICE r05:
+    # a caller-passed sf_dir diverging from the oracle's env default
+    # guaranteed a false hash mismatch)
+    global _ANN_IVF_LAST_SF_DIR
+    _ANN_IVF_LAST_SF_DIR = sf_dir
     emb, q = _ann_queries(spark, sf_dir)
     cents = train_kmeans(emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS)
     return ivf_topk(emb, q, k=10, nprobe=4, centroids=cents)
@@ -2069,17 +2089,23 @@ def _lloyd_replay_centroids(path: str, k: int, iters: int) -> dict[str, list[flo
     return cents
 
 
+_ANN_IVF_LAST_SF_DIR: str | None = None
+
+
 def _ann_ivf_trained_sql(k: int = 10, nprobe: int = 4) -> str:
     """DuckDB mirror of the trained-IVF query. Training happens at
-    SQL-build time via the independent Python replay over the ORACLE
-    fixtures (sf0.01 — the scale the driver's correctness gate runs
-    at); the centroids land as literal VALUES. Lazy (registered as a
-    callable) so importing pie_spark.queries stays cheap."""
+    SQL-build time via the independent Python replay over the SAME
+    sf_dir q_ann_ivf last trained on (falling back to the
+    SPARK_GRAFT_ORACLE_SF env default when the query has not run in
+    this process — e.g. an oracle-only invocation); the centroids land
+    as literal VALUES. Lazy (registered as a callable) so importing
+    pie_spark.queries stays cheap."""
     import os
 
-    path = os.environ.get(
+    base = _ANN_IVF_LAST_SF_DIR or os.environ.get(
         "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
-    ).rstrip("/") + "/embeddings.parquet"
+    )
+    path = base.rstrip("/") + "/embeddings.parquet"
     cents = _lloyd_replay_centroids(path, ANN_IVF_K, ANN_IVF_ITERS)
     values = ",\n".join(
         f"('{cid}', [" + ", ".join(repr(float(x)) for x in cv) + "]::DOUBLE[])"

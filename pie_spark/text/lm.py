@@ -76,6 +76,22 @@ class BigramLM:
     vocab_size: int
     add_k: float
 
+    def unpersist(self) -> None:
+        """Release the cached unigram table. ``fit_bigram_lm`` persists
+        it (the fit re-uses it three times); a long-lived session that
+        fits many models must call this (or ``close``) per model or the
+        cached tables accumulate until the session ends (ADVICE r05)."""
+        self.unigrams.unpersist()
+
+    # context-manager sugar: `with fit_bigram_lm(ref) as lm: ...`
+    def __enter__(self) -> "BigramLM":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+    close = unpersist
+
     def unseen_cost(self) -> Column:
         """Cost for a bigram whose w1 the model never saw: uniform over
         the vocabulary, -log2(1/V) — computed as ln(V)/ln(2) so the

@@ -60,6 +60,11 @@ def main() -> None:
                      "--ladder-point", docs_path],
                     capture_output=True, text=True, cwd=REPO,
                 )
+                if res.returncode != 0 or not res.stdout.strip():
+                    raise RuntimeError(
+                        f"ladder-point child failed (rc={res.returncode}); "
+                        f"stderr tail: {res.stderr[-2000:]}"
+                    )
                 line = res.stdout.strip().splitlines()[-1]
                 runs.append(json.loads(line))
             walls = sorted(r["wall_sec"] for r in runs)
