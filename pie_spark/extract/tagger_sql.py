@@ -20,9 +20,18 @@ Why this is EXACT (not approximately right):
 * tokenization parity: the Python side tokenizes ``\\S+`` with char
   offsets; the SQL side splits on single spaces, computes offsets by a
   running length sum, and drops empty pieces — identical on any text
-  whose whitespace is single ASCII spaces, which the constructed
-  oracle corpora guarantee (the pytest parity test would catch a
-  corpus that violates this).
+  whose whitespace is single ASCII spaces. Both oracle corpora satisfy
+  this BY CONSTRUCTION: the SQL-built corpus concatenates with single
+  spaces, and the generator corpus joins ``str.split()`` tokens with
+  ``' '.join`` (fixtures/gen.py — tokens can contain no whitespace);
+  the pytest parity tests cover both corpora;
+* case-feature parity on non-ASCII tokens (r06): ``fu``/``fl`` use
+  RE2 ``\\p{Lu}`` / ``\\p{Ll}`` — the same answer as Python's
+  ``str.isupper()/islower()`` on single chars for every letter
+  category L* (the generator's multilingual filler: Cyrillic/Greek
+  lowercase, accented Latin, CJK caseless). Known residual gap:
+  Python counts some non-letter cased chars (e.g. Roman-numeral Nl)
+  as upper — none can appear in any fixture vocabulary.
 
 The generated block expects a CTE ``t(doc_id, text)`` in scope and
 must be embedded under ``WITH RECURSIVE``. It terminates in a CTE
@@ -146,8 +155,8 @@ crf_tk AS MATERIALIZED (
 crf_ft AS (
   SELECT doc_id, pos, tok, ts, te,
     regexp_replace(lower(tok), '[.,;:]+$', '') AS low,
-    (substr(tok, 1, 1) BETWEEN 'A' AND 'Z') AS fu,
-    (substr(tok, 1, 1) BETWEEN 'a' AND 'z') AS fl,
+    regexp_matches(tok, '^\\p{{Lu}}') AS fu,
+    regexp_matches(tok, '^\\p{{Ll}}') AS fl,
     (length(tok) > 1 AND upper(tok) = tok AND lower(tok) <> tok) AS multiupper,
     regexp_matches(tok, '^[A-Z]\\.$') AS idot,
     regexp_matches(tok, '^[0-9]+$') AS isdig

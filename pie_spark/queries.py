@@ -40,32 +40,63 @@ def _tp(spark: SparkSession, sf_dir: str, name: str, key: str = "doc_id") -> Dat
 # ---------------------------------------------------------------------------
 
 
+_PIPE_LAST_SF_DIR: str | None = None
+
+
+def _pipe_oracle_sf_dir() -> str:
+    import os
+
+    return _PIPE_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+
+
 def _pipeline(spark: SparkSession, sf_dir: str):
     from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
     from pie_spark.pipeline import run
 
+    # record the corpus dir so the lazily-built generator-corpus oracles
+    # (extract/pipeline_sql.py) materialize and replay the SAME corpus
+    global _PIPE_LAST_SF_DIR
+    _PIPE_LAST_SF_DIR = sf_dir
     docs = interleaved_docs(spark, sf_dir)
     return run(spark, PipelineConfig(), docs, entity_dict_df(spark))
 
 
 def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full KG-construction pipeline → (subj,pred,obj) triples."""
+    """Flagship: full KG-construction pipeline → (subj,pred,obj) triples.
+
+    Hash-checked since r06: the oracle reads the SAME deterministic
+    corpus, materialized to parquet by the pure generator, and replays
+    every stage — position-accurate detectors, merge, linking, CC,
+    media-aware W4 pairing, HAS_MEDIA, A5 — in DuckDB
+    (extract/pipeline_sql.py:pipeline_triples_sql)."""
     return _pipeline(spark, sf_dir).triples
+
+
+def _pipeline_triples_gen_sql() -> str:
+    from pie_spark.extract.pipeline_sql import pipeline_triples_sql
+
+    return pipeline_triples_sql(_pipe_oracle_sf_dir())
 
 
 def q_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged mention set (regex ∪ gazetteer ∪ CRF after overlap dedup).
 
-    Rows-only, and since r05 for exactly ONE reason: the corpus itself
-    (the numpy interleaved-document generator) is not SQL-expressible.
-    Every LAYER of this query — regex, gazetteer, the CRF Viterbi
-    decode, and the cross-detector overlap merge — is hash-checked by
-    ``pipeline_mentions_all`` on the SQL-constructed corpus (the tagger
-    via the recursive-CTE mirror in extract/tagger_sql.py)."""
+    Hash-checked since r06 (VERDICT r05 next#2): the oracle never
+    generates the corpus — it reads the same materialized parquet and
+    replays the full per-span mention stack with position-accurate
+    finditer/Aho-Corasick scans (extract/pipeline_sql.py)."""
     res = _pipeline(spark, sf_dir)
     return res.merged_mentions.select(
         "doc_id", "span_idx", "start", "end", "mention_type", "surface", "detector"
     )
+
+
+def _pipeline_mentions_gen_sql() -> str:
+    from pie_spark.extract.pipeline_sql import pipeline_mentions_sql
+
+    return pipeline_mentions_sql(_pipe_oracle_sf_dir())
 
 
 def q_cc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2537,9 +2568,12 @@ WHERE q.quality_ppm >= 600000 AND l.lang_guess = 'en' AND s.split = 'train'
 # __spark_entry__.oracle_sql() and tests/test_oracle.py), or None
 # (rows-only, non-SQL-expressible — each with a documented reason).
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
-    # pipeline (rows-only)
-    "pipeline_triples": (q_pipeline_triples, None),
-    "pipeline_mentions": (q_pipeline_mentions, None),
+    # flagship pipeline on the GENERATOR corpus — hash-checked since
+    # r06: the lazy oracles materialize the same deterministic corpus
+    # to parquet (pure gen_doc) and replay every stage in DuckDB
+    # (extract/pipeline_sql.py)
+    "pipeline_triples": (q_pipeline_triples, _pipeline_triples_gen_sql),
+    "pipeline_mentions": (q_pipeline_mentions, _pipeline_mentions_gen_sql),
     # r05: renamed from pipeline_mentions_regex — now the FULL detector
     # union (regex ∪ gazetteer ∪ CRF Viterbi), with the tagger replayed
     # in recursive DuckDB SQL (tagger_sql.py); lazy oracle (the CTE

@@ -101,3 +101,44 @@ def test_multilingual_slice_in_generator(spark):
     # dominant-script docs must surface non-Latin guesses
     assert {"ja", "zh", "ru", "ko", "ar"} & guesses, guesses
     assert "en" in guesses
+
+
+def test_pure_materialization_matches_spark(spark):
+    """extract/pipeline_sql.materialize_corpus (the generator-corpus
+    oracle's input) must be BIT-IDENTICAL to Spark's distributed
+    interleaved_docs — same doc set, same spans structs in order. This
+    is the invariant that lets the r06 pipeline_mentions /
+    pipeline_triples oracles claim they read "the same corpus Spark
+    reads" (VERDICT r05 next#2)."""
+    import pyarrow.parquet as pq
+
+    from pie_spark.extract.pipeline_sql import materialize_corpus
+
+    path = materialize_corpus(SF_DIR)
+    tbl = pq.read_table(path)
+    pure = {
+        d: s
+        for d, s in zip(tbl.column("doc_id").to_pylist(), tbl.column("spans").to_pylist())
+    }
+    sdf = interleaved_docs(spark, SF_DIR)
+    got = {r["doc_id"]: [row.asDict() for row in r["spans"]] for r in sdf.collect()}
+    assert set(pure) == set(got)
+    for d in got:
+        assert got[d] == pure[d], f"span mismatch for doc {d}"
+
+
+def test_generator_span_text_single_spaced():
+    """Tokenization-parity precondition for every SQL mirror of the
+    tagger (tagger_sql.py docstring): generator span text is exactly
+    ' '.join of whitespace-free tokens — no doubled/leading/trailing
+    whitespace of any kind."""
+    import re
+
+    pdf = _docs_pdf()
+    for d, t in zip(pdf.doc_id, pdf.text):
+        for s in gen_doc(str(d), t).spans:
+            if s["kind"] != "text":
+                continue
+            txt = s["text"]
+            assert txt == " ".join(re.findall(r"\S+", txt))
+            assert not re.search(r"[^\S ]", txt)  # only ASCII space as ws

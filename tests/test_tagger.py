@@ -229,3 +229,46 @@ SELECT doc_id, mention_type, surface, s, e FROM crf_mentions
     )
     assert got == want
     assert any(r[1] == "PERSON" for r in want) and any(r[1] == "ADDRESS" for r in want)
+
+
+def test_duckdb_viterbi_mirror_on_generator_corpus():
+    """r06 (VERDICT r05 next#2 'done' criterion): the SQL Viterbi
+    mirror must equal tag_text on the REAL generator corpus — every
+    text span of every sf0.001 document, multilingual filler included
+    (the unicode \\p{Lu}/\\p{Ll} case features earn their keep here)."""
+    import duckdb
+
+    from pie_spark.extract.pipeline_sql import materialize_corpus
+    from pie_spark.extract.tagger import tag_text
+    from pie_spark.extract.tagger_sql import crf_sql_ctes
+
+    from .conftest import SF_DIR
+
+    path = materialize_corpus(SF_DIR)
+    con = duckdb.connect()
+    sql = f"""
+WITH RECURSIVE corpus AS (SELECT doc_id, spans FROM read_parquet('{path}')),
+sp AS (SELECT doc_id AS rdoc, generate_subscripts(spans, 1) - 1 AS span_idx,
+              unnest(spans) AS s
+       FROM corpus),
+t(doc_id, text) AS (
+  SELECT rdoc || '#' || CAST(span_idx AS VARCHAR), s.text
+  FROM sp WHERE s.kind = 'text' AND s.text IS NOT NULL AND length(s.text) > 0
+),
+{crf_sql_ctes('t').strip()}
+SELECT doc_id, mention_type, surface, s, e FROM crf_mentions
+"""
+    got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    want = []
+    rows = con.execute(
+        f"SELECT rdoc, span_idx, s.text FROM (SELECT doc_id AS rdoc, "
+        f"generate_subscripts(spans, 1) - 1 AS span_idx, unnest(spans) AS s "
+        f"FROM read_parquet('{path}')) WHERE s.kind = 'text'"
+    ).fetchall()
+    for rdoc, si, txt in rows:
+        if not txt:
+            continue
+        for m in tag_text(txt):
+            want.append((f"{rdoc}#{si}", m["mention_type"], m["surface"], m["start"], m["end"]))
+    assert got == sorted(want)
+    assert len(want) > 100  # the corpus genuinely exercises the tagger
