@@ -112,32 +112,23 @@ def _exploded_candidates(
     surfaces; per-n bounds are what kill them before the substring
     builds).
 
-    Shape (the shingles.py PERFORMANCE INVARIANT): the token array and
-    the per-token helper arrays (__offs offsets, __lc lead/core-length
-    structs) are bound to their OWN projection attributes, and the
-    candidate array is built directly under the Generate (explode) — a
-    Generate is not collapsed into its child Project, so the offset
-    scan / strip transforms are evaluated once per ROW. The first cut
-    referenced the raw expressions inside the per-candidate lambda and
-    Catalyst re-inlined the whole offset computation into EVERY
-    candidate element (~600×/doc — the r02 shingle pathology; it turned
-    the 1M-doc bench from ~1 min into tens of minutes)."""
+    Shape (r06 — VERDICT r05 next#1): FILTER FIRST, COMPUTE LATER. The
+    r05 shape computed a char-offset array (one ``substring_index``
+    scan per token — O(text²) chars per span) and a lead/core strip
+    struct (two regexes per token) for EVERY token, then pruned; the
+    1M-doc profile showed this narrow stage alone cost 26–28 s of the
+    27–29 s fallback wall while only ~2 tokens per doc survive the
+    first-char prefilter. Now the ONLY per-token work is a first-char
+    dispatch (alnum head → one ``isin``; punctuation head → strip then
+    test; impossible head → false), and offsets/strips/substrings are
+    computed inside the per-SURVIVOR candidate lambda. Re-inlining is
+    the intended behavior here — each survivor's offsets are genuinely
+    per-element scalars, unlike the r02/r04 shingle pathology where a
+    SHARED whole-array expression was re-inlined per element. With the
+    large-alphabet guard active (first_chars=None) the dispatch passes
+    every alnum-containing token and the shape degrades gracefully
+    toward the r05 cost (the per-n bounds still prune)."""
     toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-
-    def lead_core(x: Column) -> Column:
-        # ONE head-strip regex shared by both stats (the r04 shape ran
-        # three regexp_replaces per token — lead's head strip plus
-        # _strip_core's head+tail — and the r05 profile showed these
-        # per-token helper arrays, not the gram expressions, dominate
-        # candidate generation)
-        stripped = F.regexp_replace(x, _NOT_ALNUM_HEAD, "")
-        return F.struct(
-            (F.length(x) - F.length(stripped)).cast("int").alias("lead"),
-            F.length(F.regexp_replace(stripped, _NOT_ALNUM_TAIL, ""))
-            .cast("int")
-            .alias("core"),
-        )
 
     bound = text_spans.select(
         "doc_id",
@@ -145,52 +136,42 @@ def _exploded_candidates(
         F.col("offset").alias("span_offset"),
         "text",
         toks.alias("__toks"),
-        # char offset of token i = 1 + length of the text up to the
-        # i-th space, via substring_index — linear string scans, no
-        # per-step array reallocation (the r04 aggregate fold rebuilt
-        # the offsets array once per token: O(n²) element copies and
-        # measurably the single hottest expression in the fallback)
-        F.concat(
-            F.array(F.lit(0).cast("int")),
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
-                lambda i: (
-                    F.length(F.call_function("substring_index", F.col("text"), F.lit(" "), i))
-                    + 1
-                ).cast("int"),
-            ),
-        ).alias("__offs"),
-        F.transform(toks, lead_core).alias("__lc"),
     )
 
-    text, t, offs = F.col("text"), F.col("__toks"), F.col("__offs")
-    lc = F.col("__lc")
+    text, t = F.col("text"), F.col("__toks")
     n_toks = F.size(t)
 
     valid_ns = sorted(bounds_by_n)
 
+    def tok_offset(i) -> Column:
+        # char offset (0-based) of token i: length of the first i
+        # tokens + their i separators — ONE linear substring_index scan
+        return F.when(i == F.lit(0), F.lit(0)).otherwise(
+            F.length(
+                F.call_function("substring_index", text, F.lit(" "), i)
+            )
+            + 1
+        )
+
+    def lead_of(x: Column) -> Column:
+        return F.length(x) - F.length(F.regexp_replace(x, _NOT_ALNUM_HEAD, ""))
+
+    def core_of(x: Column) -> Column:
+        return F.length(_strip_core(x))
+
     def gram(i: Column, n: int) -> Column:
         lo, hi = bounds_by_n[n]
-        last = i + F.lit(n)  # 1-based element index of the gram's last token
-        last_lc = F.element_at(lc, last)
-        start = F.element_at(offs, i + 1) + F.element_at(lc, i + 1)["lead"]
-        end = F.element_at(offs, last) + last_lc["lead"] + last_lc["core"]
+        tok_i = F.element_at(t, i + 1)
+        last_tok = F.element_at(t, i + F.lit(n))
+        start = tok_offset(i) + lead_of(tok_i)
+        end = tok_offset(i + F.lit(n) - 1) + lead_of(last_tok) + core_of(last_tok)
         ctx_start = F.greatest(start - F.lit(CTX_PAD), F.lit(0))
-        # prune BEFORE the substrings: candidates outside this n's OWN
-        # dictionary [min,max] core length, or starting with a char no
-        # dictionary core starts with (the join-path analogue of the
-        # automaton's first-char prefilter — person gazetteers start
-        # uppercase, prose tokens mostly don't), can never join; the
-        # when() guards the expensive substring builds entirely
         keep = (
             (i + F.lit(n) <= n_toks)
-            & (i < n_toks)
             & (end > start)
             & (end - start >= F.lit(lo))
             & (end - start <= F.lit(hi))
         )
-        if first_chars is not None:
-            keep = keep & F.substring(text, start + 1, 1).isin(first_chars)
         return F.when(
             keep,
             F.struct(
@@ -204,9 +185,32 @@ def _exploded_candidates(
             ),
         )
 
+    def is_candidate_start(i: Column) -> Column:
+        """Cheap per-token dispatch — equivalent to the r05 per-gram
+        ``substring(text, start+1, 1).isin(first_chars)`` guard (the
+        core's first char IS the token's stripped first char), hoisted
+        so it runs once per TOKEN with zero offset computation."""
+        tok = F.element_at(t, i + 1)
+        head = F.substring(tok, 1, 1)
+        if first_chars is None:
+            # large-alphabet regime: any token with an alnum char can
+            # start a core (empty-core tokens die on end > start)
+            return tok.rlike(_ALNUM)
+        stripped_head = F.substring(
+            F.regexp_replace(tok, _NOT_ALNUM_HEAD, ""), 1, 1
+        )
+        return F.when(head.isin(first_chars), F.lit(True)).otherwise(
+            # punctuation-headed token ("(Mei"): strip, then test; an
+            # alnum head NOT in first_chars can never match
+            ~head.rlike(_ALNUM) & stripped_head.isin(first_chars)
+        )
+
     cands = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(n_toks - 1, F.lit(0))),
+            F.filter(
+                F.sequence(F.lit(0), F.greatest(n_toks - 1, F.lit(0))),
+                is_candidate_start,
+            ),
             lambda i: F.filter(
                 # a python-side list comprehension, NOT a sequence
                 # transform over n: only the token counts the dictionary
