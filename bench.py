@@ -206,6 +206,7 @@ def bench_gazetteer_fallback(spark, docs_path: str) -> dict:
 
     from pie_spark.extract.gazetteer import gazetteer_matches
     from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+    from pie_spark.extract.gazetteer_shard import gazetteer_shard_matches
     from pie_spark.extract.spans import explode_spans, text_spans
     from pie_spark.fixtures.gazetteer import hot_surfaces
     from pie_spark.fixtures.gen import entity_dict_df
@@ -225,12 +226,19 @@ def bench_gazetteer_fallback(spark, docs_path: str) -> dict:
         txt, d, hot=hot_surfaces(), salt_k=8
     ).count()
     join_wall = time.perf_counter() - t0
+
+    # r06: the shard-automaton fallback (default dictionary-scale path)
+    t0 = time.perf_counter()
+    n_shard = gazetteer_shard_matches(txt, d, salt_parts=8).count()
+    shard_wall = time.perf_counter() - t0
     return {
         "automaton_wall_sec": round(ac_wall, 3),
         "join_wall_sec": round(join_wall, 3),
+        "shard_wall_sec": round(shard_wall, 3),
         "hits_automaton": n_ac,
         "hits_join": n_join,
-        "hits_equal": n_ac == n_join,
+        "hits_shard": n_shard,
+        "hits_equal": n_ac == n_join == n_shard,
     }
 
 

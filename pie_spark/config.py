@@ -36,6 +36,19 @@ class PipelineConfig:
     # gazetteer + non-broadcast salted linking (extract_stage /
     # gazetteer_join.py) instead of OOMing the driver mid-broadcast.
     dict_max_surfaces: int = 5_000_000
+    # which dictionary-scale matcher the fallback uses (VERDICT r05
+    # next#1): "shard" = dictionary-shard trie probes (gazetteer_shard
+    # .py — exact automaton parity, fastest measured wall, text
+    # shuffles ~1.3× on the bench corpus), "join" = candidate-core
+    # equi-join (gazetteer_join.py — minimal shuffle, zero text
+    # replication, token-aligned coverage contract; for network-bound
+    # deployments)
+    fallback_matcher: str = "shard"
+    # dictionary-shard replication of the shard matcher: bounds cogroup
+    # group memory and spreads hot key chars; any value is
+    # hit-identical. Raise with corpus size (group ≈ docs_with_char /
+    # shard_salt_parts).
+    shard_salt_parts: int = 8
     # known-hot gazetteer surfaces for the join-fallback path (e.g. from
     # a prior run's A4 top-k or the streaming hot-key counters); salted
     # salt_k ways in the candidate⋈dictionary join. Empty → plain join

@@ -89,7 +89,8 @@ class PipelineResult:
     labels: DataFrame
     triples: DataFrame
     hot: list[str]
-    dict_mode: str = "broadcast"  # or "join_fallback" (oversized dictionary)
+    # "broadcast", or "shard_fallback"/"join_fallback" (oversized dict)
+    dict_mode: str = "broadcast"
 
     def unpersist(self) -> None:
         self.merged_mentions.unpersist()
@@ -111,21 +112,32 @@ def extract_stage(
 
     Dictionary-size adaptivity (VERDICT r03 next#8): when the distinct
     surface count exceeds ``cfg.dict_max_surfaces``, the in-UDF
-    Aho-Corasick gazetteer degrades to the shuffle-join matcher
-    (gazetteer_join.py) instead of raising — the dictionary never
-    touches the driver. ``mode_out`` (if passed) receives
-    ``{"dict_mode": "broadcast" | "join_fallback"}`` so runners can
-    record the decision in lineage."""
+    Aho-Corasick gazetteer degrades to a dictionary-scale matcher
+    instead of raising — the dictionary never touches the driver.
+    ``cfg.fallback_matcher`` picks which (r06 default "shard": the
+    dictionary-shard trie probe, exact automaton parity, ~3× faster
+    measured wall than the expression join — BENCH/BASELINE.md r06).
+    ``mode_out`` (if passed) receives ``{"dict_mode": "broadcast" |
+    "shard_fallback" | "join_fallback"}`` so runners can record the
+    decision in lineage."""
     txt = text_spans(explode_spans(docs))
     surfaces = try_collect_surfaces(dict_df, cfg.dict_max_surfaces)
+    fallback = f"{cfg.fallback_matcher}_fallback"
     if mode_out is not None:
-        mode_out["dict_mode"] = "broadcast" if surfaces is not None else "join_fallback"
+        mode_out["dict_mode"] = "broadcast" if surfaces is not None else fallback
     if surfaces is None:
-        from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+        if cfg.fallback_matcher == "shard":
+            from pie_spark.extract.gazetteer_shard import gazetteer_shard_matches
 
-        gaz = gazetteer_join_matches(
-            txt, dict_df, hot=list(cfg.hot_surfaces), salt_k=cfg.salt_k
-        )
+            gaz = gazetteer_shard_matches(
+                txt, dict_df, salt_parts=cfg.shard_salt_parts
+            )
+        else:
+            from pie_spark.extract.gazetteer_join import gazetteer_join_matches
+
+            gaz = gazetteer_join_matches(
+                txt, dict_df, hot=list(cfg.hot_surfaces), salt_k=cfg.salt_k
+            )
         if cfg.fuse_detectors:
             # regex+CRF still fuse into one Arrow pass; the gazetteer
             # rides the join path and merges with them afterwards
@@ -163,8 +175,8 @@ def downstream_stage(
 ) -> PipelineResult:
     """Everything after mention extraction: linking, CC canonicalization,
     triple materialization. ``merged`` may come fresh or from a
-    checkpoint snapshot. ``dict_mode="join_fallback"`` switches J1 from
-    the broadcast hash join to the salted shuffle join (J6) — the
+    checkpoint snapshot. Any non-"broadcast" ``dict_mode`` switches J1
+    from the broadcast hash join to the salted shuffle join (J6) — the
     oversized-dictionary path, salted on the A4 hot keys."""
     spans = explode_spans(docs)
     med = media_spans(spans)
@@ -179,7 +191,7 @@ def downstream_stage(
             hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
         return ["k:" + h for h in hot]
 
-    if dict_mode == "join_fallback":
+    if dict_mode != "broadcast":
         # oversized dictionary: J1 cannot broadcast — salted shuffle
         # join on the hot norm_keys (the same A4 list CC salting uses)
         hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))

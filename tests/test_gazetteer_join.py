@@ -105,7 +105,9 @@ def test_pipeline_degrades_to_join_fallback(spark):
     assert base.dict_mode == "broadcast"
     t_base = {tuple(r) for r in base.triples.select("subj", "pred", "obj").collect()}
 
-    fb = run(spark, PipelineConfig(dict_max_surfaces=10), docs, d)
+    fb = run(
+        spark, PipelineConfig(dict_max_surfaces=10, fallback_matcher="join"), docs, d
+    )
     assert fb.dict_mode == "join_fallback"
     t_fb = {tuple(r) for r in fb.triples.select("subj", "pred", "obj").collect()}
 
@@ -123,6 +125,7 @@ def test_runner_records_dict_mode_in_lineage(spark, tmp_path):
     docs = interleaved_docs(spark, SF_DIR).limit(40).localCheckpoint(eager=True)
     cfg = PipelineConfig(
         dict_max_surfaces=10,
+        fallback_matcher="join",
         checkpoint_dir=str(tmp_path / "ck"),
         output_path=str(tmp_path / "out"),
     )

@@ -121,15 +121,15 @@ def test_resume_recovers_dict_mode_from_snapshot_meta(spark, tmp_path):
 
     cfg = PipelineConfig(dict_max_surfaces=10, checkpoint_dir=ckpt)
     r1 = run_checkpointed(spark, cfg, docs, d)
-    assert r1.result.dict_mode == "join_fallback"
-    assert SnapshotTable(ckpt).meta()["dict_mode"] == "join_fallback"
+    assert r1.result.dict_mode == "shard_fallback"
+    assert SnapshotTable(ckpt).meta()["dict_mode"] == "shard_fallback"
 
     # fully-covered resume (same docs): no extract runs, no probe — the
     # mode must still be the fallback, recovered from the snapshot meta
     cfg2 = PipelineConfig(dict_max_surfaces=10, checkpoint_dir=ckpt, resume=True)
     r2 = run_checkpointed(spark, cfg2, docs, d)
     assert r2.resumed_docs == 0
-    assert r2.result.dict_mode == "join_fallback"
+    assert r2.result.dict_mode == "shard_fallback"
     t1 = {tuple(r) for r in r1.result.triples.select("subj", "pred", "obj").collect()}
     t2 = {tuple(r) for r in r2.result.triples.select("subj", "pred", "obj").collect()}
     assert t1 == t2 and len(t1) > 0
