@@ -17,11 +17,24 @@ the Iceberg API and can be swapped behind the same methods:
                              / SQL ``VERSION AS OF``
   * current_snapshot()     → table.currentSnapshot().snapshotId()
 
-Commit protocol (manifest-last): write all parquet data for the new
-snapshot → fsync-rename a tmp manifest over ``_manifest.json``. A crash
-before the rename leaves the previous snapshot current — data files of
-the dead snapshot are unreferenced garbage, never visible — i.e. the
-same reader-visible atomicity Iceberg's metadata swap gives.
+Commit protocol (optimistic, Iceberg-style — upgraded r06 for
+concurrent writers, VERDICT r05 next#5): write all parquet data for the
+new snapshot into UNIQUE dirs (uuid-suffixed, so racing writers never
+collide on paths) → publish by creating the next versioned metadata
+file ``_meta-<V+1>.json`` with an atomic exclusive ``os.link`` — the
+compare-and-swap. A concurrent writer that already claimed V+1 makes
+the link fail; the loser re-reads the new current snapshot, recomputes
+its snapshot id, and retries the (cheap) publish — data files are
+written exactly once. This is precisely Iceberg's optimistic-commit
+loop: writers race on the metadata-pointer swap, losers rebase and
+retry (Iceberg ``commit.retry.num-retries``); here the swap is the
+exclusive hard-link, there it is the catalog's atomic pointer CAS.
+A crash before the link leaves the previous snapshot current — data
+files of the dead snapshot are unreferenced garbage, never visible —
+the same reader-visible atomicity Iceberg's metadata swap gives.
+Readers load the highest ``_meta-*.json`` (complete by construction:
+it is hard-linked into place only after write+fsync); tables written
+by the pre-r06 layout fall back to legacy ``_manifest.json``.
 """
 
 from __future__ import annotations
@@ -44,29 +57,61 @@ class Snapshot:
     meta: dict = field(default_factory=dict)
 
 
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the metadata CAS more than
+    ``max_retries`` times (Iceberg: CommitFailedException after
+    commit.retry.num-retries)."""
+
+
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, max_retries: int = 20):
         self.root = root
+        self.max_retries = max_retries
         os.makedirs(root, exist_ok=True)
 
-    # -- manifest ----------------------------------------------------------
+    # -- versioned metadata -------------------------------------------------
     @property
-    def _manifest_path(self) -> str:
+    def _manifest_path(self) -> str:  # legacy (pre-r06) single-file layout
         return os.path.join(self.root, "_manifest.json")
 
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_meta-{version:06d}.json")
+
+    def _latest_version(self) -> int:
+        """Highest committed metadata version; 0 = none (legacy or empty)."""
+        best = 0
+        for name in os.listdir(self.root):
+            if name.startswith("_meta-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[6:-5]))
+                except ValueError:
+                    continue
+        return best
+
     def _read_manifest(self) -> dict:
-        if not os.path.exists(self._manifest_path):
+        v = self._latest_version()
+        path = self._manifest_path if v == 0 else self._meta_path(v)
+        if not os.path.exists(path):
             return {"current": None, "snapshots": []}
-        with open(self._manifest_path) as f:
+        with open(path) as f:
             return json.load(f)
 
-    def _write_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+    def _try_publish(self, m: dict, version: int) -> bool:
+        """Atomically claim metadata ``version`` with ``m`` — the CAS.
+        The tmp file is complete and fsynced before the link, so the
+        published name never exposes a torn file."""
+        tmp = self._meta_path(version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+        try:
+            os.link(tmp, self._meta_path(version))  # fails iff already claimed
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     # -- API ----------------------------------------------------------------
     def current_snapshot(self) -> int | None:
@@ -87,29 +132,47 @@ class SnapshotTable:
         meta: dict | None = None,
     ) -> int:
         """Like commit, but each dataset carries directory-partition
-        columns (Iceberg identity-partition equivalent)."""
-        m = self._read_manifest()
-        sid = (m["current"] or 0) + 1
+        columns (Iceberg identity-partition equivalent).
+
+        Optimistic under concurrency: data files are written ONCE into
+        uuid-unique dirs, then the metadata CAS loop retries on
+        conflict — the loser rebases onto the winner's snapshot (its
+        snapshot id and parent shift; its data is untouched). Raises
+        CommitConflictError after ``max_retries`` lost races, leaving
+        the table exactly as the winners published it (this commit's
+        data dirs are unreferenced and never visible)."""
+        token = uuid.uuid4().hex[:8]
         paths: dict[str, str] = {}
         for name, (df, part_cols) in datasets.items():
-            path = os.path.join(self.root, name, f"snap-{sid:06d}")
+            path = os.path.join(self.root, name, f"snap-{token}")
             w = df.write.mode("overwrite")
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(path)
             paths[name] = path
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "datasets": paths,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                "parent": m["current"],
-                "meta": meta or {},
-            }
+
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            sid = (m["current"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": paths,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": meta or {},
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        raise CommitConflictError(
+            f"commit to {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
         )
-        m["current"] = sid
-        self._write_manifest(m)
-        return sid
 
     def _resolve(self, snapshot_id: int | None) -> dict:
         m = self._read_manifest()

@@ -262,3 +262,147 @@ def test_prep_resume_ignores_changed_input(spark, tmp_path):
     # byte-identical input + config → full resume still works
     r4 = run_prep_checkpointed(spark, corpus, bench, cfg)
     assert r4.resumed_stages == ["scores", "drop", "contam"]
+
+
+# ---------------------------------------------------------------------------
+# concurrent-writer commit race (VERDICT r05 next#5): the optimistic
+# metadata CAS must serialize racing commits like Iceberg's
+# optimistic-commit loop — winners publish, losers rebase-and-retry or
+# fail atomically; readers never see a torn manifest or partial data
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_commits_serialize(spark, tmp_path):
+    """Two writer threads, 4 commits each, one table: every commit must
+    land as its own snapshot with a unique contiguous id, an intact
+    parent chain, and fully-readable data — no lost updates, no path
+    collisions between racing writers' data files."""
+    import threading
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    errs: list[Exception] = []
+
+    def writer(tag: str):
+        try:
+            for i in range(4):
+                df = spark.range((i + 1) * 10).withColumnRenamed("id", "x")
+                t.commit({"d": df}, meta={"writer": tag, "i": i})
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in ("a", "b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    snaps = t.snapshots()
+    assert [s.id for s in snaps] == list(range(1, 9))
+    assert [s.parent for s in snaps] == [None] + list(range(1, 8))
+    assert t.current_snapshot() == 8
+    # every writer's every commit is present exactly once
+    seen = {(s.meta["writer"], s.meta["i"]) for s in snaps}
+    assert seen == {(w, i) for w in ("a", "b") for i in range(4)}
+    # every snapshot's data is intact and pinned-readable
+    for s in snaps:
+        n = t.scan(spark, "d", s.id).count()
+        assert n == (s.meta["i"] + 1) * 10
+
+
+def test_commit_conflict_rebases_and_retries(spark, tmp_path):
+    """A competing commit landing between a writer's manifest read and
+    its publish must NOT be clobbered: the loser's CAS fails, it
+    rebases onto the winner's snapshot and republishes with the next
+    id — both commits visible, Iceberg optimistic-commit semantics."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit({"d": spark.range(3)})
+
+    orig = SnapshotTable._try_publish
+    raced = {"done": False}
+
+    def racing_publish(self, m, version):
+        if not raced["done"]:
+            raced["done"] = True
+            # competitor claims this exact version first
+            SnapshotTable(self.root).commit(
+                {"d": spark.range(7)}, meta={"who": "competitor"}
+            )
+        return orig(self, m, version)
+
+    SnapshotTable._try_publish = racing_publish
+    try:
+        sid = t.commit({"d": spark.range(11)}, meta={"who": "loser"})
+    finally:
+        SnapshotTable._try_publish = orig
+
+    assert sid == 3  # rebased past the competitor's snapshot 2
+    snaps = {s.id: s for s in t.snapshots()}
+    assert snaps[2].meta == {"who": "competitor"} and snaps[3].meta == {"who": "loser"}
+    assert snaps[3].parent == 2
+    assert t.scan(spark, "d", 2).count() == 7
+    assert t.scan(spark, "d", 3).count() == 11
+
+
+def test_commit_conflict_exhausted_fails_atomically(spark, tmp_path):
+    """With retries exhausted the loser must fail cleanly: the table
+    stays exactly as the winners published it, and the failed commit's
+    data files are unreferenced — never visible to any scan."""
+    from pie_spark.io.snapshots import CommitConflictError
+
+    t = SnapshotTable(str(tmp_path / "t"), max_retries=0)
+    t.commit({"d": spark.range(3)})
+
+    def always_beaten(m, version):
+        # a fresh competitor (unpatched) claims every version first
+        SnapshotTable(t.root).commit({"d": spark.range(5)})
+        return SnapshotTable._try_publish(t, m, version)
+
+    t._try_publish = always_beaten  # instance-only patch
+    with pytest.raises(CommitConflictError):
+        t.commit({"d": spark.range(99)}, meta={"who": "loser"})
+    del t._try_publish
+
+    # winner's state intact; loser invisible
+    assert t.current_snapshot() == 2
+    assert t.scan(spark, "d").count() == 5
+    assert all(s.meta.get("who") != "loser" for s in t.snapshots())
+
+
+@pytest.mark.slow
+def test_concurrent_pipeline_commits_one_output_table(spark, tmp_path):
+    """Two concurrent run_checkpointed pipelines (separate checkpoints,
+    SAME output table) racing their output commits: both must land,
+    serialized into two snapshots with identical triple payloads, and a
+    snapshot-pinned scan of either sees complete data."""
+    import threading
+
+    docs = interleaved_docs(spark, SF_DIR).limit(30).localCheckpoint(eager=True)
+    d = entity_dict_df(spark)
+    out = str(tmp_path / "out")
+    results, errs = {}, []
+
+    def go(tag: str):
+        try:
+            cfg = PipelineConfig(
+                checkpoint_dir=str(tmp_path / f"ck_{tag}"), output_path=out
+            )
+            results[tag] = run_checkpointed(spark, cfg, docs, d, input_snapshot=tag)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=(w,)) for w in ("a", "b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    t = SnapshotTable(out)
+    sids = sorted(s.id for s in t.snapshots())
+    assert sids == [1, 2]
+    h1 = _hash(t.scan(spark, "triples", 1))
+    h2 = _hash(t.scan(spark, "triples", 2))
+    assert h1 == h2 and h1 is not None
+    results["a"].result.unpersist()
+    results["b"].result.unpersist()
