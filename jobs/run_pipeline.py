@@ -34,8 +34,15 @@ def main() -> None:
     p.add_argument("--no-crf", action="store_true")
     p.add_argument("--dict-max-surfaces", type=int, default=5_000_000,
                    help="broadcast cap; a bigger dictionary switches to the "
-                        "shuffle-join gazetteer + salted linking (dict_mode "
-                        "recorded in lineage)")
+                        "dictionary-scale gazetteer + salted linking "
+                        "(dict_mode recorded in lineage)")
+    p.add_argument("--hot-keys-from", default="",
+                   help="streaming-counter output dir (streaming/counters.py "
+                        "landing zone); its top --hot-k norm_keys seed J6/CC "
+                        "salting instead of the batch A4 scan — a standing "
+                        "landing zone learns hot entities across runs. "
+                        "Triples are identical either way (salting is "
+                        "result-preserving for any hot list).")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +60,14 @@ def main() -> None:
     from pie_spark.runner import run_checkpointed
     from pie_spark.schemas import DOC_SCHEMA
 
+    hot_norm_keys: tuple[str, ...] = ()
+    if args.hot_keys_from:
+        from pie_spark.streaming.counters import hot_keys_from_counts
+
+        hot_norm_keys = tuple(
+            hot_keys_from_counts(spark, args.hot_keys_from, k=args.hot_k)
+        )
+
     cfg = PipelineConfig(
         input_path=args.input,
         output_path=args.output,
@@ -63,6 +78,7 @@ def main() -> None:
         salt_k=args.salt_k,
         enable_crf=not args.no_crf,
         dict_max_surfaces=args.dict_max_surfaces,
+        hot_norm_keys=hot_norm_keys,
     )
     if args.input_format == "fixtures":
         docs = interleaved_docs(spark, args.input)
@@ -80,6 +96,7 @@ def main() -> None:
             {
                 "run_id": out.run_id,
                 "triples": n,
+                "hot_norm_keys": len(hot_norm_keys),
                 "wall_sec": round(wall, 3),
                 "extract_snapshot": out.extract_snapshot,
                 "output_snapshot": out.output_snapshot,

@@ -54,6 +54,14 @@ class PipelineConfig:
     # salt_k ways in the candidate⋈dictionary join. Empty → plain join
     # with AQE skew-join as the backstop.
     hot_surfaces: tuple[str, ...] = ()
+    # pre-computed hot norm_keys for J6/CC salting (VERDICT r05 next#7:
+    # the streaming counters' hot_keys_from_counts output, via the CLI's
+    # --hot-keys-from). Non-empty → downstream_stage SKIPS the batch A4
+    # scan over the mention set and salts on this list instead — a
+    # standing landing zone learns its hot entities incrementally across
+    # drains. Salting is result-preserving for ANY hot list (the
+    # salted-join/CC contracts), so triples are identical either way.
+    hot_norm_keys: tuple[str, ...] = ()
     # --- CC loop -----------------------------------------------------------
     cc_max_iters: int = 20
     # dictionary graphs at/below this edge count run exact union-find on

@@ -181,17 +181,19 @@ def downstream_stage(
     spans = explode_spans(docs)
     med = media_spans(spans)
 
-    # Hot-key detection (A4) feeds CC salting — deferred into a thunk so
-    # the driver-union-find fast path (dictionary-scale graphs) never
-    # pays the extra job over the mention set.
-    hot: list[str] = []
+    # Hot-key detection feeds CC salting — cfg.hot_norm_keys (streamed
+    # counters via CLI --hot-keys-from) preempts the batch A4 scan;
+    # otherwise A4 runs lazily, deferred into a thunk so the
+    # driver-union-find fast path (dictionary-scale graphs) never pays
+    # the extra job over the mention set.
+    hot: list[str] = list(cfg.hot_norm_keys)
 
     def _hot_nodes() -> list[str]:
         if not hot:
             hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
         return ["k:" + h for h in hot]
 
-    if dict_mode != "broadcast":
+    if dict_mode != "broadcast" and not hot:
         # oversized dictionary: J1 cannot broadcast — salted shuffle
         # join on the hot norm_keys (the same A4 list CC salting uses)
         hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))

@@ -189,3 +189,34 @@ def test_stateful_surface_counts_accumulate(spark, tmp_path):
         k for k, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     ]
     assert got_hot == want_hot
+
+
+def test_hot_norm_keys_preempt_batch_a4(spark):
+    """cfg.hot_norm_keys (the streamed-counter hot list, CLI
+    --hot-keys-from) must seed J6/CC salting WITHOUT the batch A4 scan
+    — and produce byte-identical triples, since salting is
+    result-preserving for any hot list (VERDICT r05 next#7)."""
+    from pie_spark.pipeline import run
+
+    docs = interleaved_docs(spark, SF_DIR).limit(60).localCheckpoint(eager=True)
+    d = entity_dict_df(spark)
+
+    # force the non-broadcast path so the hot list actually salts J6
+    base = run(spark, PipelineConfig(dict_max_surfaces=10), docs, d)
+    t_base = {tuple(r) for r in base.triples.select("subj", "pred", "obj", "doc_id").collect()}
+    a4_hot = list(base.hot)
+    assert a4_hot  # the A4 scan ran and found hot keys
+
+    # a DIFFERENT (streamed) hot list: reversed A4 plus a decoy
+    planted = tuple(reversed(a4_hot[: max(1, len(a4_hot) // 2)])) + ("zz_decoy",)
+    seeded = run(
+        spark,
+        PipelineConfig(dict_max_surfaces=10, hot_norm_keys=planted),
+        docs,
+        d,
+    )
+    assert seeded.hot == list(planted)  # A4 never overwrote the seed
+    t_seeded = {tuple(r) for r in seeded.triples.select("subj", "pred", "obj", "doc_id").collect()}
+    assert t_seeded == t_base and len(t_base) > 0
+    base.unpersist()
+    seeded.unpersist()
