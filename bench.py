@@ -39,15 +39,19 @@ MAX_RUNS = 10        # sampling cap while hunting clean windows
 CLEAN_STEAL_PCT = 1.0  # a run is "clean" below this hypervisor-steal %
 N_CLEAN = 3          # keep sampling until this many clean runs (or cap)
 SCALING_RUNS = 3     # per parallelism level in the (slow) scaling mode
+QUERY_RUNS = 3       # per headline query; reported number = min (r05 #4)
 SCALING_CORES = (4, 16)
 
 
 def _mk_session(cores: int, app: str):
     from pie_spark.session import build_session
 
-    return build_session(
-        app_name=app, master=f"local[{cores}]", shuffle_partitions=2 * cores
-    )
+    # PIE_BENCH_SHUFFLE scales shuffle partitions past the 2×cores
+    # default for the big ladder rungs (25M docs wants ~256 so each
+    # shuffle partition stays ~100 MB instead of spilling; see
+    # tools/ladder.py + BENCH/BASELINE.md r06)
+    sp = int(os.environ.get("PIE_BENCH_SHUFFLE", 2 * cores))
+    return build_session(app_name=app, master=f"local[{cores}]", shuffle_partitions=sp)
 
 
 def _materialize_corpus(spark, sf_dir: str, out_dir: str, mult: int = 1) -> int:
@@ -146,55 +150,77 @@ def bench_skew(spark, sf_dir: str) -> dict:
 
 
 def bench_cc_skew(spark) -> dict:
-    """G1 skew evidence (VERDICT r03 #5): plant one hot component — a
-    100k-edge star around a single hub node — next to 1k small organic
-    components, then run the distributed CC loop with and without
-    hot-node salting (salt_k=8) and record per-iteration wall + changed
-    counts. Labels must be identical after sibling stripping; whichever
-    path wins, the numbers land in BENCH_r{N}.json under "cc_skew" so
-    the call is evidence, not argument."""
+    """G1 skew evidence ladder (VERDICT r03 #5 / r05 next#3): plant one
+    hot component — a star of PIE_CC_STARS edges around a single hub —
+    next to 1k small organic components, then run the distributed CC
+    loop with and without hot-node salting (salt_k=8) at each
+    magnitude. Labels must be identical after sibling stripping;
+    whichever path wins, the numbers land in BENCH_r{N}.json under
+    "cc_skew" so the crossover is evidence, not argument. The measured
+    crossover (flat through 10^6, salting 1.9× at 10^7) sets
+    adaptive_components' default hot_degree_min."""
     from pyspark.sql import functions as F
 
     from pie_spark.canon.cc import connected_components
     from pie_spark.canon.salting import salt_edges, strip_salted_nodes
 
-    leaves = spark.range(100_000).select(
-        F.lit("hub").alias("src"),
-        F.concat(F.lit("leaf:"), F.col("id").cast("string")).alias("dst"),
-    )
-    # 1k organic 5-node stars: members point at their group leader
-    organic = spark.range(5_000).select(
-        F.concat(F.lit("c:"), F.col("id").cast("string")).alias("src"),
-        F.concat(F.lit("c:"), (F.col("id") - F.col("id") % 5).cast("string")).alias("dst"),
-    )
-    edges = leaves.unionByName(organic).localCheckpoint(eager=True)
+    stars = [
+        int(s)
+        for s in os.environ.get(
+            "PIE_CC_STARS", "100000,1000000,10000000"
+        ).split(",")
+    ]
+    points = []
+    for star in stars:
+        leaves = spark.range(star).select(
+            F.lit("hub").alias("src"),
+            F.concat(F.lit("leaf:"), F.col("id").cast("string")).alias("dst"),
+        )
+        # 1k organic 5-node stars: members point at their group leader
+        organic = spark.range(5_000).select(
+            F.concat(F.lit("c:"), F.col("id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("c:"), (F.col("id") - F.col("id") % 5).cast("string")
+            ).alias("dst"),
+        )
+        edges = leaves.unionByName(organic).localCheckpoint(eager=True)
 
-    stats_u: list[dict] = []
-    t0 = time.perf_counter()
-    labels_u = connected_components(edges, iter_stats=stats_u).localCheckpoint(eager=True)
-    n_u = labels_u.count()
-    wall_u = time.perf_counter() - t0
+        stats_u: list[dict] = []
+        t0 = time.perf_counter()
+        labels_u = connected_components(edges, iter_stats=stats_u).localCheckpoint(
+            eager=True
+        )
+        n_u = labels_u.count()
+        wall_u = time.perf_counter() - t0
 
-    stats_s: list[dict] = []
-    t0 = time.perf_counter()
-    labels_s = strip_salted_nodes(
-        connected_components(salt_edges(edges, ["hub"], 8), iter_stats=stats_s)
-    ).localCheckpoint(eager=True)
-    n_s = labels_s.count()
-    wall_s = time.perf_counter() - t0
+        stats_s: list[dict] = []
+        t0 = time.perf_counter()
+        labels_s = strip_salted_nodes(
+            connected_components(salt_edges(edges, ["hub"], 8), iter_stats=stats_s)
+        ).localCheckpoint(eager=True)
+        n_s = labels_s.count()
+        wall_s = time.perf_counter() - t0
 
-    mismatch = labels_u.exceptAll(labels_s).count() + labels_s.exceptAll(labels_u).count()
-    return {
-        "edges": 105_000,
-        "hot_star_edges": 100_000,
-        "unsalted_wall_sec": round(wall_u, 3),
-        "unsalted_iters": stats_u,
-        "salted_wall_sec": round(wall_s, 3),
-        "salted_iters": stats_s,
-        "labels": n_u,
-        "labels_salted": n_s,
-        "labels_mismatch": mismatch,
-    }
+        mismatch = (
+            labels_u.exceptAll(labels_s).count()
+            + labels_s.exceptAll(labels_u).count()
+        )
+        points.append(
+            {
+                "hot_star_edges": star,
+                "unsalted_wall_sec": round(wall_u, 3),
+                "unsalted_iters": stats_u,
+                "salted_wall_sec": round(wall_s, 3),
+                "salted_iters": stats_s,
+                "labels": n_u,
+                "labels_salted": n_s,
+                "labels_mismatch": mismatch,
+            }
+        )
+        labels_u.unpersist()
+        labels_s.unpersist()
+        edges.unpersist()
+    return {"salt_k": 8, "points": points}
 
 
 def bench_gazetteer_fallback(spark, docs_path: str) -> dict:
@@ -239,6 +265,61 @@ def bench_gazetteer_fallback(spark, docs_path: str) -> dict:
         "hits_join": n_join,
         "hits_shard": n_shard,
         "hits_equal": n_ac == n_join == n_shard,
+    }
+
+
+def bench_gazetteer_skew(spark) -> dict:
+    """Adversarial hot-surface corpus for the dictionary-scale fallback
+    (VERDICT r05 next#8): the 1M-doc bench corpus is statistically
+    uniform, so shard salting never gets stressed. Here ONE dictionary
+    surface makes up ~10% of all tokens (4 of 40 per doc), which
+    concentrates every candidate in a single first-char shard —
+    salt_parts=1 runs that cogroup as one straggler task; salt_parts=8
+    must spread it. Hits must be exactly equal (salting is routing
+    only)."""
+    from pyspark.sql import functions as F
+
+    from pie_spark.extract.gazetteer_shard import gazetteer_shard_matches
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+    from pie_spark.fixtures.gen import entity_dict_df
+
+    hot = sorted({e.surface for e in dictionary_entries()})[0]
+    filler = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )  # 18 lowercase tokens — no dictionary first-char candidates
+    n_docs = 250_000
+    txt = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.lit(0).alias("span_idx"),
+            F.lit(0).alias("offset"),
+            F.concat(
+                F.lit(f"{filler} {hot} {hot} {filler} {hot} {hot} doc "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
+    d = entity_dict_df(spark)
+
+    t0 = time.perf_counter()
+    n1 = gazetteer_shard_matches(txt, d, salt_parts=1).count()
+    wall1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n8 = gazetteer_shard_matches(txt, d, salt_parts=8).count()
+    wall8 = time.perf_counter() - t0
+    txt.unpersist()
+    return {
+        "docs": n_docs,
+        "hot_surface": hot,
+        "unsalted_wall_sec": round(wall1, 3),
+        "salted_wall_sec": round(wall8, 3),
+        "hits_unsalted": n1,
+        "hits_salted": n8,
+        "hits_equal": n1 == n8,
     }
 
 
@@ -351,17 +432,33 @@ def main() -> None:
 
         spark = _mk_session(cores, "pie-bench-queries")
         _time_query(QUERIES["span_explode"][0], spark, sf_dir)  # JVM warmup, untimed
+        # Per-query clean sampling (VERDICT r05 next#4): single timed
+        # runs produced phantom cross-round swings (email_extract 0.36
+        # → 1.44 s with the file untouched — session steal, not code).
+        # Each query now runs QUERY_RUNS× with per-run steal; the
+        # reported number is the MIN (steal and GC only ever ADD time,
+        # so min is the best steal-free estimate a noisy session
+        # yields), and runs+steal ship in queries_detail so rounds can
+        # be compared on like readings.
         qtimes: dict[str, float] = {}
+        qdetail: dict[str, dict] = {}
         for name in headline:
             # registry-folded operators (e.g. top1_candidate, folded to
             # fund pipeline_triples_all's driver slot) keep their
             # headline timing via the module-level query function
             fn = QUERIES[name][0] if name in QUERIES else getattr(Qmod, f"q_{name}")
-            qtimes[name] = round(_time_query(fn, spark, sf_dir), 3)
+            runs, steals = [], []
+            for _ in range(QUERY_RUNS):
+                s0 = _cpu_stat()
+                runs.append(round(_time_query(fn, spark, sf_dir), 3))
+                steals.append(round(_steal_pct(s0, _cpu_stat()), 2))
+            qtimes[name] = min(runs)
+            qdetail[name] = {"runs": runs, "steal_pct": steals}
         qtimes["pipeline"] = round(med, 3)
         skew = bench_skew(spark, sf_dir)
         cc_skew = bench_cc_skew(spark)
         gaz_fallback = bench_gazetteer_fallback(spark, docs_path)
+        gaz_skew = bench_gazetteer_skew(spark)
         spark.stop()
 
         out = {
@@ -369,6 +466,7 @@ def main() -> None:
             "value": round(med, 3),
             "unit": "sec",
             "queries": qtimes,
+            "queries_detail": qdetail,
             "sf": float(sf),
             "docs": n_docs,
             "corpus_mult": mult,
@@ -382,6 +480,7 @@ def main() -> None:
             "skew": skew,
             "cc_skew": cc_skew,
             "gazetteer_fallback": gaz_fallback,
+            "gazetteer_skew": gaz_skew,
         }
 
         if os.environ.get("PIE_BENCH_SCALING") == "1":

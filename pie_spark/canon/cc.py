@@ -134,10 +134,12 @@ def union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
 def adaptive_components(
     spark: SparkSession,
     edges: DataFrame,
-    hot_nodes: list[str] | Callable[[], list[str]],
-    salt_k: int,
+    hot_nodes: list[str] | Callable[[], list[str]] = (),
+    salt_k: int = 8,
     max_iters: int = 20,
     driver_max_edges: int = 5_000_000,
+    hot_degree_min: int = 1_000_000,
+    hot_max: int = 1_000,
 ) -> DataFrame:
     """Size-adaptive CC, the analogue of Spark's broadcast-vs-shuffle
     join choice (SURVEY.md §4): the CC input here is the *dictionary*
@@ -155,9 +157,25 @@ def adaptive_components(
     Arrow plain strings, not pyspark Row objects (~10x lighter per edge
     on the driver heap).
 
-    ``hot_nodes`` may be a thunk: hot-key detection costs a Spark job
-    over the mention set, and salting only matters on the distributed
-    path, so callers defer it and the fast path never pays for it.
+    Salting on the distributed path is chosen from MEASURED degree
+    stats (VERDICT r05 next#3), not a caller-supplied guess: one
+    partial-agg degree pass over the edges (map-side combinable count,
+    ~one CC-iteration's cost) finds nodes with degree ≥
+    ``hot_degree_min``, and exactly those are salted. The threshold is
+    the measured crossover on this box (BENCH/BASELINE.md r06
+    ``cc_skew`` ladder, labels identical at every point): a planted
+    hot star is FLAT at 10^5–10^6 edges (min-label partial agg absorbs
+    the hub map-side; 9.5 vs 8.9 s, 14.8 vs 14.2 s) and salting wins
+    1.9× at 10^7 (166 vs 90 s — the iteration JOIN on the hub key is
+    what skews, and AQE's split caps out before per-sibling
+    parallelism does). Below the threshold nothing is salted and the
+    loop runs clean. The collect is limit(``hot_max``)-bounded.
+
+    ``hot_nodes`` (list or thunk) remains as explicit extra seeds for
+    callers that already know their hubs; pass ``hot_degree_min=0`` to
+    skip the measurement and salt exactly the caller list (legacy
+    behavior). A thunk is only invoked when measurement is disabled —
+    its Spark job is what the degree probe replaces.
     """
     if driver_max_edges > 0:
         # ONE job: Arrow-collect at most N+1 rows (plain strings, not Row
@@ -173,6 +191,24 @@ def adaptive_components(
             )
     from pie_spark.canon.salting import salt_edges, strip_salted_nodes
 
-    hot = hot_nodes() if callable(hot_nodes) else hot_nodes
+    if hot_degree_min > 0:
+        # measured hubs: ONE partial-agg pass (undirected degree), a
+        # bounded collect of at most hot_max node ids
+        ends = edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        )
+        measured = [
+            r["node"]
+            for r in ends.groupBy("node")
+            .count()
+            .filter(F.col("count") >= hot_degree_min)
+            .orderBy(F.desc("count"), "node")
+            .limit(hot_max)
+            .collect()
+        ]
+        seeds = hot_nodes if not callable(hot_nodes) else ()
+        hot = sorted(set(measured) | set(seeds))
+    else:
+        hot = list(hot_nodes() if callable(hot_nodes) else hot_nodes)
     salted = salt_edges(edges, hot, salt_k)
     return strip_salted_nodes(connected_components(salted, max_iters))

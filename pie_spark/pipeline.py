@@ -181,22 +181,23 @@ def downstream_stage(
     spans = explode_spans(docs)
     med = media_spans(spans)
 
-    # Hot-key detection feeds CC salting — cfg.hot_norm_keys (streamed
-    # counters via CLI --hot-keys-from) preempts the batch A4 scan;
-    # otherwise A4 runs lazily, deferred into a thunk so the
-    # driver-union-find fast path (dictionary-scale graphs) never pays
-    # the extra job over the mention set.
+    # Hot keys for J6 link salting on the fallback path —
+    # cfg.hot_norm_keys (streamed counters via CLI --hot-keys-from)
+    # preempts the batch A4 scan. CC no longer consumes this list:
+    # adaptive_components salts from its own measured degree stats
+    # (r06 — the A4 mention-frequency list was a proxy for graph
+    # degree; the degree probe is exact and costs about the same).
     hot: list[str] = list(cfg.hot_norm_keys)
 
-    def _hot_nodes() -> list[str]:
+    if dict_mode != "broadcast":
+        # oversized dictionary: J1 cannot broadcast — salted shuffle
+        # join (J6) on the hot norm_keys: streamed counters when seeded,
+        # else one batch A4 scan over the mention set. (r06 fix: a
+        # seeded hot list used to skip this whole branch and broadcast
+        # the oversized dictionary anyway — value-equal, so tests were
+        # green, but it reintroduced the OOM the fallback exists for.)
         if not hot:
             hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
-        return ["k:" + h for h in hot]
-
-    if dict_mode != "broadcast" and not hot:
-        # oversized dictionary: J1 cannot broadcast — salted shuffle
-        # join on the hot norm_keys (the same A4 list CC salting uses)
-        hot.extend(hot_keys(surface_frequencies(merged), cfg.hot_k))
         linked = link_mentions(
             merged, dict_df, broadcast_dict=False, hot=hot, salt_k=cfg.salt_k
         )
@@ -206,10 +207,9 @@ def downstream_stage(
     labels = adaptive_components(
         spark,
         build_edges(dict_df),
-        _hot_nodes,
-        cfg.salt_k,
-        cfg.cc_max_iters,
-        cfg.cc_driver_max_edges,
+        salt_k=cfg.salt_k,
+        max_iters=cfg.cc_max_iters,
+        driver_max_edges=cfg.cc_driver_max_edges,
     )
     key_map = key_canonical_map(labels)
 

@@ -146,3 +146,32 @@ def test_cc_raises_on_nonconvergence(spark):
     edges = spark.createDataFrame(pairs, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+
+
+def test_adaptive_cc_measured_degree_salting(spark):
+    """r06: the distributed path salts hubs it MEASURES (degree probe ≥
+    hot_degree_min) instead of trusting a caller list. A planted hub
+    over the threshold must come back with the same labels as
+    union-find, and explicit seeds still merge in."""
+    from pie_spark.canon.cc import adaptive_components
+
+    pairs = [("hub", f"l{i:03d}") for i in range(50)] + [
+        ("a", "b"), ("b", "c"), ("x", "y")
+    ]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    # hub degree 50 ≥ threshold 40 → salted from measurement alone
+    labels = adaptive_components(
+        spark, edges, [], salt_k=4, driver_max_edges=0, hot_degree_min=40
+    )
+    _assert_matches_unionfind(spark, pairs, labels)
+    # explicit seed below the measured threshold merges with measurement
+    labels2 = adaptive_components(
+        spark, edges, ["x"], salt_k=4, driver_max_edges=0, hot_degree_min=40
+    )
+    _assert_matches_unionfind(spark, pairs, labels2)
+    # hot_degree_min=0 → legacy: salt exactly the caller list (thunk ok)
+    labels3 = adaptive_components(
+        spark, edges, lambda: ["hub"], salt_k=4, driver_max_edges=0,
+        hot_degree_min=0,
+    )
+    _assert_matches_unionfind(spark, pairs, labels3)

@@ -218,5 +218,16 @@ def test_hot_norm_keys_preempt_batch_a4(spark):
     assert seeded.hot == list(planted)  # A4 never overwrote the seed
     t_seeded = {tuple(r) for r in seeded.triples.select("subj", "pred", "obj", "doc_id").collect()}
     assert t_seeded == t_base and len(t_base) > 0
+    # r06 regression guard: the seeded run must STILL take the salted
+    # shuffle join (the _salt machinery shows in the optimized plan) —
+    # a seeded hot list once short-circuited into broadcasting the
+    # oversized dictionary, value-equal but an OOM at real dict scale.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seeded.linked.explain("extended")
+    assert "_salt" in buf.getvalue()
     base.unpersist()
     seeded.unpersist()
