@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -190,20 +191,30 @@ def test_stratified_sample_rates_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
-def test_gazetteer_join_candidates_stay_bound(spark, docs_parquet):
-    """The candidate stage's helper arrays (__offs/__lead/__core) must
-    survive as Project attributes under the Generate — if Catalyst
-    collapses them away, the offset fold is re-inlined into EVERY
-    candidate element (~600×/doc; measured 10+ min vs 78 s at the
-    1M-doc bench — the r02 shingle pathology, second occurrence)."""
+def test_gazetteer_join_candidates_filter_first(spark, docs_parquet):
+    """r06 candidate shape (VERDICT r05 next#1): the cheap per-token
+    first-char dispatch must run as a Filter BETWEEN the token-index
+    Generate and the per-survivor gram Project — i.e. offsets/strips
+    are computed only for survivors (the 1M profile showed the r05
+    compute-then-prune shape cost 26–28 s of the 27–29 s wall). The
+    old pin (__offs/__lc helper attrs under the Generate) guarded the
+    r05 shape, which computed those arrays for EVERY token; their
+    absence is now intended — per-survivor scalars re-inline safely,
+    unlike the r02/r04 shared-array shingle pathology."""
     from pie_spark.extract.gazetteer_join import _exploded_candidates
     from pie_spark.schemas import DOC_SCHEMA
 
     docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
     txt = text_spans(explode_spans(docs))
     plan = _explain(_exploded_candidates(txt, {n: (5, 30) for n in (1, 2, 3)}))
-    assert "__offs" in plan and "__lc" in plan
-    assert "Generate" in plan
+    # two Generates (token indices, then gram structs) with the
+    # dispatch Filter in between, below the struct-building Project
+    gen_project_filter_gen = re.search(
+        r"Generate.*?Project.*?Filter.*?Generate", plan, re.S
+    )
+    assert gen_project_filter_gen, plan
+    # the old whole-token helper arrays must NOT be materialized
+    assert "__offs" not in plan and "__lc" not in plan
     # and the full matcher never drops into Python or sorts
     from pie_spark.extract.gazetteer_join import gazetteer_join_matches
     from pie_spark.fixtures.gen import entity_dict_df
