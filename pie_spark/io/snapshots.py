@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -55,6 +56,9 @@ class Snapshot:
     committed_at: str
     parent: int | None
     meta: dict = field(default_factory=dict)
+    # directory-partition columns per dataset (recorded since r06 so
+    # maintenance rewrites preserve the layout; absent in older tables)
+    partitions: dict = field(default_factory=dict)
 
 
 class CommitConflictError(RuntimeError):
@@ -150,6 +154,7 @@ class SnapshotTable:
                 w = w.partitionBy(*part_cols)
             w.parquet(path)
             paths[name] = path
+        partitions = {n: list(pc) for n, (_, pc) in datasets.items() if pc}
 
         for _ in range(self.max_retries + 1):
             v = self._latest_version()
@@ -164,6 +169,7 @@ class SnapshotTable:
                     ),
                     "parent": m["current"],
                     "meta": meta or {},
+                    "partitions": partitions,
                 }
             )
             m["current"] = sid
@@ -173,6 +179,152 @@ class SnapshotTable:
             f"commit to {self.root} lost the metadata race "
             f"{self.max_retries + 1} times"
         )
+
+    # -- maintenance (Iceberg table-maintenance equivalents) -----------------
+    def compact(
+        self,
+        spark: SparkSession,
+        dataset: str,
+        target_files: int = 8,
+        expected_snapshot_id: int | None = None,
+    ) -> int:
+        """Rewrite ``dataset``'s current data files into ``target_files``
+        files and publish the result as a NEW snapshot — Iceberg's
+        ``rewrite_data_files`` maintenance action. Streaming ingest
+        commits one snapshot per micro-batch, so a standing landing
+        zone accumulates thousands of small files; compaction is what
+        keeps scan task counts sane at 10^12-doc scale. Semantics match
+        Iceberg exactly:
+
+        * other datasets are carried forward BY REFERENCE (same dirs —
+          snapshots share unchanged data files, like Iceberg manifests
+          referencing unchanged files);
+        * recorded directory-partition columns are preserved in the
+          rewrite (partition pruning survives compaction);
+        * time travel is untouched — the pre-compaction snapshot still
+          scans until it is expired;
+        * a concurrent writer that replaces ``dataset`` between the
+          rewrite-read and the publish would be silently dropped by a
+          blind commit, so the publish VALIDATES the dataset is still
+          the one it compacted and aborts with CommitConflictError
+          otherwise (Iceberg: rewrite validation failure) — the caller
+          simply retries against the new snapshot; the aborted rewrite
+          dir is removed.
+
+        ``expected_snapshot_id`` pins the base (Iceberg
+        ``validate-from-snapshot``); None compacts the current one.
+        """
+        base = self._resolve(expected_snapshot_id)
+        if dataset not in base["datasets"]:
+            raise ValueError(f"snapshot {base['id']} has no dataset {dataset!r}")
+        src = base["datasets"][dataset]
+        part_cols = base.get("partitions", {}).get(dataset, [])
+        dst = os.path.join(self.root, dataset, f"snap-{uuid.uuid4().hex[:8]}")
+        w = spark.read.parquet(src).coalesce(max(1, target_files)).write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.mode("overwrite").parquet(dst)
+
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            cur = next(s for s in m["snapshots"] if s["id"] == m["current"])
+            if cur["datasets"].get(dataset) != src:
+                shutil.rmtree(dst, ignore_errors=True)
+                raise CommitConflictError(
+                    f"compact of {dataset!r} in {self.root}: dataset was "
+                    f"replaced concurrently (expected {src}); retry against "
+                    "the new snapshot"
+                )
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": {**cur["datasets"], dataset: dst},
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": {
+                        "operation": "compact",
+                        "dataset": dataset,
+                        "source": src,
+                        "target_files": target_files,
+                    },
+                    "partitions": dict(cur.get("partitions", {})),
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        shutil.rmtree(dst, ignore_errors=True)
+        raise CommitConflictError(
+            f"compact of {dataset!r} in {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshots from table
+        metadata, then delete data dirs no retained snapshot references
+        — Iceberg's ``expire_snapshots``. Order matters and matches
+        Iceberg: metadata publishes FIRST (readers of the new version
+        never see the expired ids), files are deleted after, so a crash
+        between the two leaves harmless unreferenced dirs for
+        ``remove_orphans`` rather than a live snapshot with missing
+        data. Shared dirs (carried forward across commits/compactions)
+        are reference-counted against the retained set. Scanning an
+        expired snapshot id raises ValueError, exactly like Iceberg
+        time travel past the expiry horizon. Returns expired ids."""
+        keep_last = max(1, keep_last)
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            if len(m["snapshots"]) <= keep_last:
+                return []
+            retained = m["snapshots"][-keep_last:]
+            expired = m["snapshots"][:-keep_last]
+            m["snapshots"] = retained
+            if self._try_publish(m, v + 1):
+                keep = {p for s in retained for p in s["datasets"].values()}
+                doomed = {
+                    p
+                    for s in expired
+                    for p in s["datasets"].values()
+                    if p not in keep
+                }
+                for p in doomed:
+                    shutil.rmtree(p, ignore_errors=True)
+                return [s["id"] for s in expired]
+        raise CommitConflictError(
+            f"expire_snapshots on {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
+    def remove_orphans(self, older_than_sec: float = 3600.0) -> list[str]:
+        """Delete data dirs referenced by NO snapshot in current
+        metadata — Iceberg's ``remove_orphan_files``. Orphans come from
+        crashed commits (data written, CAS never reached — the
+        documented atomicity story) and lost compactions. The age guard
+        is load-bearing, same as Iceberg's ``older_than``: an in-flight
+        writer's dirs are unreferenced until its publish, so only dirs
+        older than ``older_than_sec`` are touched. Returns removed
+        paths."""
+        m = self._read_manifest()
+        referenced = {p for s in m["snapshots"] for p in s["datasets"].values()}
+        now = time.time()
+        removed: list[str] = []
+        for name in os.listdir(self.root):
+            d = os.path.join(self.root, name)
+            if name.startswith("_") or not os.path.isdir(d):
+                continue
+            for snap in os.listdir(d):
+                p = os.path.join(d, snap)
+                if not snap.startswith("snap-") or p in referenced:
+                    continue
+                if now - os.path.getmtime(p) >= older_than_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+        return sorted(removed)
 
     def _resolve(self, snapshot_id: int | None) -> dict:
         m = self._read_manifest()
