@@ -39,6 +39,7 @@ by the pre-r06 layout fall back to legacy ``_manifest.json``.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -52,13 +53,21 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class Snapshot:
     id: int
-    datasets: dict[str, str]
+    # dataset -> data dir, or LIST of dirs once appends accumulate
+    # (Iceberg: one manifest list referencing many data files)
+    datasets: dict[str, str | list[str]]
     committed_at: str
     parent: int | None
     meta: dict = field(default_factory=dict)
     # directory-partition columns per dataset (recorded since r06 so
     # maintenance rewrites preserve the layout; absent in older tables)
     partitions: dict = field(default_factory=dict)
+
+
+def _dirs(v: str | list[str]) -> list[str]:
+    """A dataset's data dirs: single-dir commits stay plain strings in
+    metadata (back-compat with pre-append tables); appends grow lists."""
+    return v if isinstance(v, list) else [v]
 
 
 class CommitConflictError(RuntimeError):
@@ -180,6 +189,120 @@ class SnapshotTable:
             f"{self.max_retries + 1} times"
         )
 
+    def append(self, datasets: dict[str, DataFrame], meta: dict | None = None) -> int:
+        """Append-commit (Iceberg *fast append*): write each DataFrame
+        to a new uuid-unique dir, then publish a snapshot whose dataset
+        points at the PREVIOUS dirs PLUS the new one. Unlike ``commit``
+        (full replace — a checkpoint), append is what a per-micro-batch
+        streaming sink does at 10^12-doc scale: existing data files are
+        never rewritten, the snapshot just references one more dir.
+        Losing the metadata CAS rebases cheaply — re-read the winner's
+        dir list and re-append; data is written exactly once — which is
+        precisely why Iceberg appends retry without revalidation while
+        rewrites (``compact``) must abort on conflict. Datasets not
+        named here are carried forward by reference."""
+        token = uuid.uuid4().hex[:8]
+        paths: dict[str, str] = {}
+        for name, df in datasets.items():
+            path = os.path.join(self.root, name, f"snap-{token}")
+            df.write.mode("overwrite").parquet(path)
+            paths[name] = path
+
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            cur = (
+                next(s for s in m["snapshots"] if s["id"] == m["current"])
+                if m["current"]
+                else {"datasets": {}, "partitions": {}}
+            )
+            merged: dict[str, str | list[str]] = dict(cur["datasets"])
+            for name, path in paths.items():
+                merged[name] = _dirs(merged.get(name, [])) + [path]
+            sid = (m["current"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": merged,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": {"operation": "append", **(meta or {})},
+                    "partitions": dict(cur.get("partitions", {})),
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        raise CommitConflictError(
+            f"append to {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
+    def add_files(
+        self,
+        dataset: str,
+        path: str,
+        meta: dict | None = None,
+        key: str | None = None,
+    ) -> int:
+        """Register an ALREADY-WRITTEN data dir as an append — Iceberg's
+        ``add_files`` procedure. This is the zero-copy bridge from a
+        ``foreachBatch`` sink: the micro-batch wrote its idempotent
+        ``batch-<epoch>`` dir, the table publishes a snapshot referencing
+        it, nothing is rewritten. IDEMPOTENT two ways: by path (a dir
+        already referenced by the current snapshot is a no-op), and —
+        when ``key`` is given — by an application key recorded in table
+        metadata (Iceberg's idempotent-write / WAP summary-property
+        trick). The key matters once maintenance runs: compaction folds
+        the batch dir into a rewrite, so a crash-retried epoch would no
+        longer find its PATH referenced and would double-register; its
+        KEY (``epoch-<id>``) survives the fold, keeping the sink
+        exactly-once through compact/expire cycles."""
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            applied = m.setdefault("applied_keys", [])
+            if key is not None and f"{dataset}:{key}" in applied:
+                return m["current"]
+            cur = (
+                next(s for s in m["snapshots"] if s["id"] == m["current"])
+                if m["current"]
+                else {"datasets": {}, "partitions": {}}
+            )
+            have = _dirs(cur["datasets"].get(dataset, []))
+            if path in have:
+                return m["current"]
+            if key is not None:
+                applied.append(f"{dataset}:{key}")
+                # bound metadata growth: a retry can only replay the
+                # in-flight (most recent) epochs, so a sliding window of
+                # applied keys is sufficient — same reasoning as
+                # Iceberg's bounded snapshot-summary history
+                if len(applied) > 10_000:
+                    m["applied_keys"] = applied[-10_000:]
+            sid = (m["current"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": {**cur["datasets"], dataset: have + [path]},
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": {"operation": "add_files", "path": path, **(meta or {})},
+                    "partitions": dict(cur.get("partitions", {})),
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        raise CommitConflictError(
+            f"add_files to {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
     # -- maintenance (Iceberg table-maintenance equivalents) -----------------
     def compact(
         self,
@@ -187,6 +310,7 @@ class SnapshotTable:
         dataset: str,
         target_files: int = 8,
         expected_snapshot_id: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Rewrite ``dataset``'s current data files into ``target_files``
         files and publish the result as a NEW snapshot — Iceberg's
@@ -213,6 +337,16 @@ class SnapshotTable:
 
         ``expected_snapshot_id`` pins the base (Iceberg
         ``validate-from-snapshot``); None compacts the current one.
+
+        An append-grown dataset (list of dirs) collapses back to ONE
+        dir — the small-files story: per-micro-batch appends accumulate,
+        compaction folds them, expiry reclaims them. ``sort_by`` sorts
+        the rewrite by the given columns with range partitioning
+        (Iceberg's sort-strategy rewrite / Z-order-lite on one
+        dimension): each output file then covers a disjoint key range,
+        so parquet min/max row-group stats prune point/range scans on
+        that key — the cheap substitute for a secondary index at
+        10^12-doc scale.
         """
         base = self._resolve(expected_snapshot_id)
         if dataset not in base["datasets"]:
@@ -220,7 +354,13 @@ class SnapshotTable:
         src = base["datasets"][dataset]
         part_cols = base.get("partitions", {}).get(dataset, [])
         dst = os.path.join(self.root, dataset, f"snap-{uuid.uuid4().hex[:8]}")
-        w = spark.read.parquet(src).coalesce(max(1, target_files)).write
+        df = spark.read.parquet(*_dirs(src))
+        if sort_by:
+            df = df.repartitionByRange(max(1, target_files), *sort_by)
+            df = df.sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(max(1, target_files))
+        w = df.write
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.mode("overwrite").parquet(dst)
@@ -250,6 +390,7 @@ class SnapshotTable:
                         "dataset": dataset,
                         "source": src,
                         "target_files": target_files,
+                        "sort_by": list(sort_by or []),
                     },
                     "partitions": dict(cur.get("partitions", {})),
                 }
@@ -285,11 +426,17 @@ class SnapshotTable:
             expired = m["snapshots"][:-keep_last]
             m["snapshots"] = retained
             if self._try_publish(m, v + 1):
-                keep = {p for s in retained for p in s["datasets"].values()}
+                keep = {
+                    p
+                    for s in retained
+                    for v_ in s["datasets"].values()
+                    for p in _dirs(v_)
+                }
                 doomed = {
                     p
                     for s in expired
-                    for p in s["datasets"].values()
+                    for v_ in s["datasets"].values()
+                    for p in _dirs(v_)
                     if p not in keep
                 }
                 for p in doomed:
@@ -310,7 +457,12 @@ class SnapshotTable:
         older than ``older_than_sec`` are touched. Returns removed
         paths."""
         m = self._read_manifest()
-        referenced = {p for s in m["snapshots"] for p in s["datasets"].values()}
+        referenced = {
+            p
+            for s in m["snapshots"]
+            for v in s["datasets"].values()
+            for p in _dirs(v)
+        }
         now = time.time()
         removed: list[str] = []
         for name in os.listdir(self.root):
@@ -326,6 +478,56 @@ class SnapshotTable:
                     removed.append(p)
         return sorted(removed)
 
+    def data_file_count(self, dataset: str) -> int:
+        """Number of parquet data files the CURRENT snapshot references
+        for ``dataset`` — the signal maintenance policies key on. Local
+        glob here; on Iceberg this is a metadata-table read
+        (``table.files``), never a storage listing."""
+        s = self._resolve(None)
+        if dataset not in s["datasets"]:
+            return 0
+        return sum(
+            len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+            for d in _dirs(s["datasets"][dataset])
+        )
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        dataset: str,
+        max_files: int = 64,
+        target_files: int = 8,
+        sort_by: list[str] | None = None,
+        keep_last: int = 4,
+        orphan_age_sec: float = 3600.0,
+    ) -> dict:
+        """One maintenance pass — the policy loop an Iceberg deployment
+        schedules beside a streaming writer: compact ``dataset`` when
+        its current file count exceeds ``max_files``, expire all but the
+        last ``keep_last`` snapshots, sweep aged orphans. Safe to run
+        concurrently with writers: compaction validates its base and a
+        LOST race is reported (``compacted: "deferred"``) rather than
+        raised — the next pass simply sees the writer's snapshot. Run it
+        every N micro-batches (see streaming.ingest) or on a cron; each
+        action is independently idempotent."""
+        n_files = self.data_file_count(dataset)
+        compacted: int | str | None = None
+        if n_files > max_files:
+            try:
+                compacted = self.compact(
+                    spark, dataset, target_files=target_files, sort_by=sort_by
+                )
+            except CommitConflictError:
+                compacted = "deferred"  # a writer won; next pass retries
+        expired = self.expire_snapshots(keep_last=keep_last)
+        orphans = self.remove_orphans(older_than_sec=orphan_age_sec)
+        return {
+            "files_before": n_files,
+            "compacted_snapshot": compacted,
+            "expired": expired,
+            "orphans_removed": orphans,
+        }
+
     def _resolve(self, snapshot_id: int | None) -> dict:
         m = self._read_manifest()
         sid = snapshot_id if snapshot_id is not None else m["current"]
@@ -339,11 +541,13 @@ class SnapshotTable:
     def scan(
         self, spark: SparkSession, dataset: str, snapshot_id: int | None = None
     ) -> DataFrame:
-        """Snapshot-pinned read (S2): None → current snapshot."""
+        """Snapshot-pinned read (S2): None → current snapshot. An
+        append-grown dataset reads as the union of its dirs (one
+        multi-path parquet scan — Spark lists them in parallel)."""
         s = self._resolve(snapshot_id)
         if dataset not in s["datasets"]:
             raise ValueError(f"snapshot {s['id']} has no dataset {dataset!r}")
-        return spark.read.parquet(s["datasets"][dataset])
+        return spark.read.parquet(*_dirs(s["datasets"][dataset]))
 
     def meta(self, snapshot_id: int | None = None) -> dict:
         return self._resolve(snapshot_id)["meta"]

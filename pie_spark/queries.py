@@ -1644,6 +1644,49 @@ FROM r LEFT JOIN k USING (lang)
 """
 
 
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing with epoch repetition (prep/mixing.py):
+    4 allowlisted sources, targets 40/25/20/15 % of an 8,000-token
+    budget — at sf0.01 that upsamples src0–src2 (rates ≈ 2.2/1.3/1.1 →
+    repeated epochs) and downsamples src3 (≈ 0.87), so the row
+    exercises BOTH directions plus the allowlist drop of the other 16
+    sources. Output is the materialized mixture multiset
+    (doc_id, source, epoch) — row-level evidence for the salted-hash
+    Bernoulli machinery (the folded stratified_sample row's job, now
+    carried here on the harder multiset semantics)."""
+    from pie_spark.prep.mixing import mix_epochs, mixture_rates, token_counts_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = {"src0": 0.40, "src1": 0.25, "src2": 0.20, "src3": 0.15}
+    rates = mixture_rates(
+        spark, token_counts_by_source(docs), targets, budget_tokens=8000, max_epochs=4
+    )
+    return mix_epochs(docs.select("doc_id", "source"), rates).select(
+        "doc_id", "source", F.col("copy").cast("long").alias("epoch")
+    )
+
+
+SQL_MIX_EPOCHS = """
+WITH c AS (SELECT source, sum(len(string_split(text, ' '))) AS tokens
+           FROM documents GROUP BY 1),
+t(source, target_ppm) AS (VALUES ('src0', 400000), ('src1', 250000),
+                                 ('src2', 200000), ('src3', 150000)),
+r AS (SELECT source,
+             CAST(least((CAST(8000 AS BIGINT) * target_ppm) // tokens,
+                        CAST(4000000 AS BIGINT)) AS BIGINT) AS rate_ppm
+      FROM c JOIN t USING (source)),
+b AS (SELECT d.doc_id, d.source, r.rate_ppm,
+             CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT)::BIGINT % 1000000 AS bkt
+      FROM documents d JOIN r USING (source))
+SELECT doc_id, source,
+       CAST(unnest(range(1, (rate_ppm // 1000000)
+                            + CASE WHEN bkt < rate_ppm % 1000000
+                                   THEN 1 ELSE 0 END + 1)) AS BIGINT) AS epoch
+FROM b
+"""
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat deterministic Bernoulli sample (X11 flat mode) — pure salted
     hash threshold, reshard/resume-stable; df.sample() is banned because
@@ -2617,7 +2660,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     "passage_dedup_text": (q_passage_dedup_text, SQL_PASSAGE_DEDUP_TEXT),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
-    "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+    # stratified_sample folded to FOLDED (r06): its row-level salted-
+    # hash threshold evidence is carried by mix_epochs (same machinery,
+    # harder multiset semantics); rate derivation stays driver-checked
+    # in temperature_sample
+    "mix_epochs": (q_mix_epochs, SQL_MIX_EPOCHS),
     "temperature_sample": (q_temperature_sample, _temperature_sample_sql()),
     # hash_sample folded to the pytest oracle (test_oracle.FOLDED): its
     # threshold machinery is already driver-covered by stratified/

@@ -42,12 +42,28 @@ def stream_extract_mentions(
     output_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    snapshot_table=None,
+    maintain_every: int = 0,
+    maintain_max_files: int = 64,
 ) -> int:
     """Drain all currently-available files (Trigger.AvailableNow) through
     the batch extraction stage; returns the number of micro-batches run.
 
     Call again after new files land — the checkpoint's offset log skips
-    everything already committed."""
+    everything already committed.
+
+    With ``snapshot_table`` (a ``SnapshotTable``), each micro-batch dir
+    is also published to the table as a zero-copy append
+    (``add_files``, idempotent by ``epoch-<id>`` key so a crash-retried
+    epoch never double-registers even after compaction folded its dir)
+    — the table becomes the queryable system of record for the landing
+    zone, with time travel per micro-batch. ``maintain_every`` > 0 runs
+    one table-maintenance pass (compact-if-over-``maintain_max_files``
+    + expire + orphan sweep) every that-many batches, INSIDE the sink —
+    sequential with epochs, so maintenance never races its own writer.
+    This is the full 10^12-doc landing-zone loop: append per
+    micro-batch, fold small files, expire history, all while readers
+    see only committed snapshots."""
     from pie_spark.pipeline import extract_stage
 
     reader = spark.readStream.schema(DOC_SCHEMA)
@@ -65,6 +81,17 @@ def stream_extract_mentions(
         extract_stage(spark, cfg, batch_df, dict_df).write.mode(
             "overwrite"
         ).parquet(out)
+        if snapshot_table is not None:
+            snapshot_table.add_files(
+                "mentions", out, meta={"epoch": epoch_id}, key=f"epoch-{epoch_id}"
+            )
+            if maintain_every > 0 and n_batches % maintain_every == 0:
+                snapshot_table.maintain(
+                    spark,
+                    "mentions",
+                    max_files=maintain_max_files,
+                    orphan_age_sec=3600.0,
+                )
 
     q = (
         stream.writeStream.foreachBatch(process)

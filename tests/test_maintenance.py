@@ -135,3 +135,133 @@ def test_remove_orphans_age_guarded(spark, tmp_path):
     assert t.remove_orphans(older_than_sec=0.0) == [orphan]
     assert not os.path.exists(orphan)
     assert _rows(t.scan(spark, "d")) == {(i,) for i in range(5)}
+
+
+def test_append_accumulates_then_compacts(spark, tmp_path):
+    """Fast-append (Iceberg): each append publishes a snapshot
+    referencing the previous dirs PLUS one new dir — no rewrite.
+    Compaction folds the grown list back to one dir; time travel to the
+    pre-compaction snapshot still reads the union."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit({"d": spark.range(0, 100).toDF("id")})
+    t.append({"d": spark.range(100, 200).toDF("id")})
+    t.append({"d": spark.range(200, 300).toDF("id")})
+    assert len(t.snapshots()[-1].datasets["d"]) == 3  # list of dirs
+    full = {(i,) for i in range(300)}
+    assert _rows(t.scan(spark, "d")) == full
+
+    pre = t.current_snapshot()
+    t.compact(spark, "d", target_files=2)
+    assert isinstance(t.snapshots()[-1].datasets["d"], str)  # folded
+    assert _rows(t.scan(spark, "d")) == full
+    assert _rows(t.scan(spark, "d", snapshot_id=pre)) == full
+
+
+def test_add_files_idempotent_by_path_and_key(spark, tmp_path):
+    """The foreachBatch bridge: registering an already-written dir is
+    zero-copy; a retried epoch is a no-op by path, and by KEY even after
+    compaction folded the path away (the case path-idempotence misses)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    ext = str(tmp_path / "batch-000001")
+    spark.range(50).toDF("id").write.parquet(ext)
+
+    s1 = t.add_files("d", ext, key="epoch-1")
+    assert t.add_files("d", ext, key="epoch-1") == s1  # path + key no-op
+    assert _rows(t.scan(spark, "d")) == {(i,) for i in range(50)}
+
+    t.compact(spark, "d", target_files=1)  # folds ext out of the list
+    cur = t.current_snapshot()
+    # retried epoch after the fold: path is gone from metadata, but the
+    # applied key survives → still a no-op, no duplicate rows
+    assert t.add_files("d", ext, key="epoch-1") == cur
+    assert _rows(t.scan(spark, "d")) == {(i,) for i in range(50)}
+
+
+def test_compact_sort_by_clusters_key_ranges(spark, tmp_path):
+    """sort_by compaction (Iceberg sort-strategy rewrite): output files
+    cover disjoint key ranges, so parquet min/max stats prune scans on
+    the sort key."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("k"), F.col("id").alias("v")
+    )
+    t.commit({"d": df.repartition(16)})
+    before = _rows(t.scan(spark, "d"))
+    t.compact(spark, "d", target_files=4, sort_by=["k"])
+    assert _rows(t.scan(spark, "d")) == before
+    assert t.snapshots()[-1].meta["sort_by"] == ["k"]
+
+    files = _files(t.snapshots()[-1].datasets["d"])
+    assert 2 <= len(files) <= 4
+    ranges = sorted(
+        tuple(
+            spark.read.parquet(f).agg(F.min("k"), F.max("k")).collect()[0]
+        )
+        for f in files
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # pairwise disjoint → min/max pruning works
+
+
+def test_maintain_policy_compacts_expires_sweeps(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit({"d": spark.range(0, 10).toDF("id").repartition(4)})
+    for b in range(1, 5):
+        t.append({"d": spark.range(b * 10, b * 10 + 10).toDF("id").repartition(4)})
+    full = {(i,) for i in range(50)}
+
+    # below threshold: no compaction, expiry still applies
+    r = t.maintain(spark, "d", max_files=100, keep_last=10)
+    assert r["compacted_snapshot"] is None and r["expired"] == []
+
+    r = t.maintain(spark, "d", max_files=8, target_files=2, keep_last=1)
+    assert isinstance(r["compacted_snapshot"], int)
+    assert r["files_before"] >= 16 and t.data_file_count("d") <= 2
+    assert len(r["expired"]) >= 4  # history collapsed to keep_last
+    assert _rows(t.scan(spark, "d")) == full
+    # all expired append dirs physically reclaimed
+    assert t.remove_orphans(older_than_sec=0.0) == []
+
+
+def test_stream_ingest_publishes_and_maintains_snapshots(spark, tmp_path):
+    """End-to-end landing-zone loop: foreachBatch extraction appends
+    each micro-batch to the snapshot table (zero-copy add_files), the
+    in-sink maintenance pass folds small files, and the table scan stays
+    ≡ the batch extraction over the same docs — including across a
+    restart with nothing new."""
+    from pie_spark.config import PipelineConfig
+    from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+    from pie_spark.pipeline import extract_stage
+    from pie_spark.streaming.ingest import stream_extract_mentions
+
+    from .conftest import SF_DIR
+
+    cols = ["doc_id", "span_idx", "start", "end", "mention_type", "surface", "detector"]
+    cfg = PipelineConfig()
+    d = entity_dict_df(spark)
+    docs = interleaved_docs(spark, SF_DIR).localCheckpoint(eager=True)
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "landing"), str(tmp_path / "mentions"), str(tmp_path / "ckpt")
+    )
+    t = SnapshotTable(str(tmp_path / "table"))
+    docs.repartition(6).write.mode("append").parquet(in_dir)  # 6 files → 3 batches
+    n = stream_extract_mentions(
+        spark, cfg, in_dir, d, out_dir, ckpt,
+        max_files_per_trigger=2,  # force several micro-batches
+        snapshot_table=t, maintain_every=2, maintain_max_files=4,
+    )
+    assert n >= 2
+    want = {tuple(r) for r in extract_stage(spark, cfg, docs, d).select(*cols).collect()}
+    got = {tuple(r) for r in t.scan(spark, "mentions").select(*cols).collect()}
+    assert got == want and len(want) > 0
+    # maintenance actually folded: far fewer files than batches × parts
+    assert t.data_file_count("mentions") < 8 * n
+
+    # restart with nothing new: no reprocessing, no re-registration
+    cur = t.current_snapshot()
+    stream_extract_mentions(
+        spark, cfg, in_dir, d, out_dir, ckpt, snapshot_table=t,
+    )
+    assert t.current_snapshot() == cur
+    assert {tuple(r) for r in t.scan(spark, "mentions").select(*cols).collect()} == want

@@ -73,6 +73,10 @@ def _folded_queries():
         # r05: slot funds pipeline_triples_all; J2/W1 top-1 selection
         # is driver-checked inside that row's linking stage
         ("top1_candidate", q.q_top1_candidate, q.SQL_TOP1_CANDIDATE),
+        # r06: slot funds mix_epochs (same salted-hash threshold
+        # machinery on harder multiset semantics); rate derivation
+        # stays driver-checked in temperature_sample
+        ("stratified_sample", q.q_stratified_sample, q._stratified_sample_sql()),
     ]
 
 
