@@ -2222,19 +2222,20 @@ def _media_table(spark: SparkSession, sf_dir: str, png: bool = True):
     generator output in test_media.py), but over a SQL-expressible span
     source so all three media queries are DuckDB-hash-checked.
 
-    ``png=True`` (the driver rows) replaces image payloads with REAL
-    PNG files of recipe-planted pixels (attach_png_payloads), so the
-    feature/resample rows exercise the genuine stdlib PNG decode;
-    ``png=False`` keeps the sha-byte stand-in payloads — the stub path
-    the folded media_resize oracle covers."""
+    ``png=True`` (the driver rows) replaces payloads with REAL encoded
+    files — genuine PNGs for images AND genuine RIFF/PCM WAVs for audio
+    since r06 (attach_codec_payloads) — so the feature/resample rows
+    exercise both stdlib decode chains; ``png=False`` keeps the
+    sha-byte stand-in payloads — the stub path the folded media_resize
+    oracle covers."""
     from pie_spark.media.features import (
-        attach_png_payloads,
+        attach_codec_payloads,
         media_table_from_docs,
         synth_media_table,
     )
 
     m = synth_media_table(media_table_from_docs(_t(spark, sf_dir, "documents")))
-    return attach_png_payloads(m) if png else m
+    return attach_codec_payloads(m) if png else m
 
 
 # shared SQL mirror of _media_table (lockstep with media_table_from_docs
@@ -2261,15 +2262,17 @@ mt AS (
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction, Arrow-batched. Image rows carry
-    REAL PNG payloads and go through the genuine stdlib PNG decode
-    (chunk walk, inflate, unfilter) — their features are computed from
-    actual decoded pixels; audio rows keep the honest deterministic
-    fake (no audio codec in this sandbox). SQL-checked both ways: the
-    oracle recomputes image features from the planted-pixel recipe
-    (sound because decode∘encode is the identity — proven in
-    tests/test_media.py round-trip tests) and audio features from the
-    fake recipe."""
+    """Multimodal feature extraction, Arrow-batched — BOTH modalities
+    real since r06. Image rows carry genuine PNG payloads and go
+    through the stdlib PNG decode (chunk walk, inflate, unfilter);
+    audio rows carry genuine RIFF/PCM WAV payloads and go through the
+    stdlib WAV decode (RIFF chunk walk, fmt parse, int16 frames) —
+    features on both branches are computed from actually-decoded
+    bytes. SQL-checked both ways: the oracle recomputes image features
+    from the planted-pixel recipe and audio features from the
+    planted-sample recipe (sound because decode∘encode is the identity
+    on both codecs — proven in tests/test_media.py round-trip
+    tests)."""
     from pie_spark.media.features import extract_features
 
     feats = extract_features(_media_table(spark, sf_dir))
@@ -2296,18 +2299,26 @@ _SQL_PNG_BYTE = (
 def _media_features_sql() -> str:
     from pie_spark.media.features import FEATURE_DIM
 
-    # audio: _fake_features — d = sha256(hex payload) → 16 float32s
-    # v[i] = LE-uint32 at digest byte 4·(i%8) / 2^32; summed into a
-    # double acc left-to-right (Spark F.aggregate fold), rounded to 5.
-    fake_feats = []
-    for i in range(FEATURE_DIM):
-        j = i % 8
-        byte_terms = " + ".join(
-            f"(('0x' || substr(d, {2 * (4 * j + b) + 1}, 2))::UBIGINT * {1 << (8 * b)})"
-            for b in range(4)
+    # audio: _wav_features over the planted-sample recipe (r06 — the
+    # Spark side round-trips genuine RIFF/PCM WAV bytes; the oracle is
+    # sound because decode∘encode = id). rate from the 4-value ladder
+    # at hex 17–18, frame count n = hex 19–20 % 48 + 16; sample t is
+    # the signed LE int16 at planted bytes (2t, 2t+1); features are
+    # rate/96000, n/256, then 14 modular class means mapped to [0,1] —
+    # each one double op from exact ints, narrowed to float32, summed
+    # left-to-right like Spark's aggregate fold.
+    mm = FEATURE_DIM - 2
+    lo = _SQL_PNG_BYTE.format(s="(t * 2)")
+    hi = _SQL_PNG_BYTE.format(s="(t * 2 + 1)")
+    u = f"({lo} + 256 * {hi})"
+    wav_feats = ["CAST(rate / 96000.0 AS FLOAT)", "CAST(n / 256.0 AS FLOAT)"]
+    for i in range(mm):
+        n_i = f"((n - 1 - {i}) // {mm} + 1)"
+        s_i = f"list_sum(list_transform(range({n_i}), j -> sv[{i} + {mm} * j + 1]))"
+        wav_feats.append(
+            f"CAST(({s_i} + 32768 * {n_i}) / (65535.0 * {n_i}) AS FLOAT)"
         )
-        fake_feats.append(f"CAST(CAST(({byte_terms}) AS DOUBLE) / 4294967296 AS FLOAT)")
-    fake_total = " + ".join(f"CAST({f} AS DOUBLE)" for f in fake_feats)
+    wav_total = " + ".join(f"CAST({f} AS DOUBLE)" for f in wav_feats)
 
     # image: _png_features over the planted recipe — decoded dims /256
     # plus 14 modular byte-class means, each one double op from exact
@@ -2325,13 +2336,21 @@ def _media_features_sql() -> str:
     byte_t = _SQL_PNG_BYTE.format(s="t")
     return f"""
 WITH {_SQL_MEDIA_CTE.strip()},
-dg AS (SELECT doc_id, media_ref, kind, sha256(lower(hex(payload))) AS d
-       FROM mt WHERE kind <> 'image'),
+aw AS (SELECT doc_id, media_ref, kind,
+              CASE (('0x' || substr(sha256(media_ref), 17, 2))::UBIGINT % 4)
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 32000
+                ELSE 48000 END AS rate,
+              CAST(('0x' || substr(sha256(media_ref), 19, 2))::UBIGINT % 48 + 16 AS BIGINT) AS n
+       FROM mt WHERE kind = 'audio'),
+au AS (SELECT doc_id, media_ref, kind, rate, n,
+              list_transform(range(n),
+                t -> {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END) AS sv
+       FROM aw),
 imgs AS (SELECT doc_id, media_ref, kind, {_SQL_PNG_DIMS.strip()} FROM mt WHERE kind = 'image'),
 ib AS (SELECT doc_id, media_ref, kind, pw, ph,
               list_transform(range(pw * ph * 3), t -> {byte_t}) AS bts
        FROM imgs)
-SELECT doc_id, media_ref, kind, round({fake_total}, 5) AS feat_sum FROM dg
+SELECT doc_id, media_ref, kind, round({wav_total}, 5) AS feat_sum FROM au
 UNION ALL
 SELECT doc_id, media_ref, kind, round({png_total}, 5) AS feat_sum FROM ib
 """
