@@ -1222,6 +1222,37 @@ FROM documents
 """
 
 
+_QUANTILE_PROBS_PPM = [250000, 500000, 750000, 900000, 990000]
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus token-length quantiles (r06, folded oracle): the
+    distributed inverse-CDF operator — groupBy(value) partial-agg
+    shuffle of V distinct values (never N rows), cumulative window
+    over the V-row table, integer ppm rank thresholds so the same
+    arithmetic is exact in both engines at any N
+    (text/analysis.py:exact_quantiles)."""
+    from pie_spark.text.analysis import exact_quantiles, token_counts
+
+    tc = token_counts(_t(spark, sf_dir, "documents"))
+    return exact_quantiles(tc, "n_tokens", _QUANTILE_PROBS_PPM)
+
+
+SQL_LENGTH_QUANTILES = f"""
+WITH counts AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v, count(*) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM counts),
+tot AS (SELECT sum(c) AS n FROM counts)
+SELECT p_ppm, min(v) AS value
+FROM cum, tot,
+     (VALUES {", ".join(f"({p})" for p in _QUANTILE_PROBS_PPM)}) AS probs(p_ppm)
+WHERE cum >= (p_ppm * n + 999999) // 1000000
+GROUP BY p_ppm
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pie_spark.text.analysis import quality_scores
 

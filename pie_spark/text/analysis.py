@@ -257,3 +257,51 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 3) -> D
             F.transform(shingles_of(F.col("__toks"), shingle), lambda s: F.md5(s))
         ).alias("min_shingle_md5"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, probs_ppm: list[int]
+) -> DataFrame:
+    """EXACT distributed quantiles over a discrete-valued column (token
+    counts, doc lengths, per-doc scores in ppm) with NO global data
+    sort: one map-side-combinable ``groupBy(value)`` count — the
+    shuffle carries one row per DISTINCT value, V rows, with V << N
+    for bounded domains — then a cumulative window over that V-row
+    table and one broadcast probe per probability.
+
+    Why not ``approx_percentile``: the sketch trades exactness for
+    memory, and its estimates are estimator-specific (not
+    cross-engine checkable — same reason approx_distinct is the one
+    permanent rows-only oracle). For bounded domains exactness costs
+    only the V-row shuffle, so it's effectively free at any N; the
+    single-reducer cumulative sort is over V rows, NOT N (document
+    scores in ppm: V ≤ 10^6 regardless of corpus size).
+
+    Probabilities are integer ppm and the rank threshold is computed
+    in pure integer arithmetic ``(p_ppm·N + 999999) div 10^6`` =
+    ceil(p·N): at N = 10^12 the product is ~10^18, past float64's
+    exact-integer range, so a float path would misrank — and integer
+    parity is what makes the DuckDB oracle exact (memory: integer
+    weights for cross-engine parity).
+
+    Returns (p_ppm int, value long): q_p = min{v : #{x ≤ v} ≥
+    ceil(p·N/10^6)} — the left-continuous empirical inverse CDF."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    counts = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("c").over(w).alias("cum"))
+    total = counts.agg(F.sum("c").alias("n"))
+    probs = spark.createDataFrame(
+        [(int(p),) for p in sorted(probs_ppm)], "p_ppm int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(probs))
+        .where(F.col("cum") >= F.expr("(p_ppm * n + 999999) div 1000000"))
+        .groupBy("p_ppm")
+        .agg(F.min("v").alias("value"))
+    )

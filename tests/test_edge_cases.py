@@ -124,3 +124,25 @@ def test_lang_id_tiebreak_is_lang_asc(spark):
     row = lang_id(docs).collect()[0]
     assert row.hits_en == row.hits_es == row.hits_de == row.hits_fr == 0
     assert row.lang_guess == "de"
+
+
+def test_exact_quantiles_definition_and_partitioning(spark):
+    """q_p = min{v : #{x <= v} >= ceil(p*N/1e6)} on a known
+    distribution; result independent of input partitioning; ppm
+    thresholds exercise the ceil edge (p=.5 on even N picks the LOWER
+    middle under this definition)."""
+    from pie_spark.text.analysis import exact_quantiles
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21]  # N=8
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r.p_ppm: r.value
+        for r in exact_quantiles(df, "x", [250000, 500000, 750000, 1000000]).collect()
+    }
+    # ceil thresholds: .25→rank 2→1, .5→rank 4→3, .75→rank 6→8, 1.0→rank 8→21
+    assert got == {250000: 1, 500000: 3, 750000: 8, 1000000: 21}
+    got7 = {
+        r.p_ppm: r.value
+        for r in exact_quantiles(df.repartition(7), "x", [500000]).collect()
+    }
+    assert got7 == {500000: 3}

@@ -300,7 +300,7 @@ def test_decode_audio_wav_features_from_real_samples():
 
     from pie_spark.media.features import decode_audio, encode_wav
 
-    pcm = struct_pack_samples = bytes(
+    pcm = bytes(
         b for s in range(-20, 22, 3) for b in int(s * 1000).to_bytes(2, "little", signed=True)
     )
     f = decode_audio(encode_wav(pcm, 32000))

@@ -77,6 +77,10 @@ def _folded_queries():
         # machinery on harder multiset semantics); rate derivation
         # stays driver-checked in temperature_sample
         ("stratified_sample", q.q_stratified_sample, q._stratified_sample_sql()),
+        # r06 new operator, born folded (registry at the 50 cap):
+        # exact distributed quantiles — V-row shuffle, integer ppm
+        # rank thresholds, full hash parity here
+        ("length_quantiles", q.q_length_quantiles, q.SQL_LENGTH_QUANTILES),
     ]
 
 

@@ -243,3 +243,22 @@ def test_lm_scoring_joins_are_broadcast_no_python(spark):
     assert "InMemoryTableScan" in plan
     assert "InMemoryTableScan" in _explain(lm.bigrams)
     lm.unigrams.unpersist()
+
+
+def test_exact_quantiles_probes_broadcast_no_corpus_sort(spark):
+    """r06 exact-quantiles shape: the corpus contributes ONE
+    map-side-combinable hash aggregate (partial_count under
+    HashAggregate, no Sort of N rows); total and ppm-probe tables join
+    as BroadcastNestedLoopJoin (1-row / k-row sides); the only sort is
+    the window over the V-row distinct-value table."""
+    from pie_spark.text.analysis import exact_quantiles, token_counts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = exact_quantiles(token_counts(d), "n_tokens", [500000, 900000])
+    plan = _explain(q, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus-sized side must aggregate, not sort: every Sort in the
+    # plan sits above the V-row aggregate (window), none below the scan
+    simple = _explain(q, "formatted")
+    assert "HashAggregate" in simple
