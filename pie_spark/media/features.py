@@ -228,12 +228,12 @@ def _png_dims(media_ref: str) -> tuple[int, int]:
     return int(hx[12:14], 16) % 6 + 3, int(hx[14:16], 16) % 6 + 3
 
 
-def attach_png_payloads(media: DataFrame) -> DataFrame:
-    """Replace image payloads with REAL PNG files (Arrow-batched):
-    pixels planted from the media_ref hash (``_planted_pixels``),
-    encoded with the stdlib encoder. Audio rows pass through untouched.
-    Everything downstream (feature extraction, resampling) then works
-    on actual decoded pixel data."""
+def _attach_real_payloads(media: DataFrame, wav: bool) -> DataFrame:
+    """Shared Arrow pass behind attach_png_payloads /
+    attach_codec_payloads: image rows become genuine PNGs of planted
+    pixels; audio rows become genuine RIFF/PCM WAVs of planted samples
+    when ``wav`` (else pass through untouched); other kinds always
+    pass through."""
     cols = [f.name for f in MEDIA_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,6 +243,9 @@ def attach_png_payloads(media: DataFrame) -> DataFrame:
                 if k == "image":
                     pw, ph = _png_dims(ref)
                     payloads.append(encode_png(_planted_pixels(ref, pw * ph * 3), pw, ph))
+                elif wav and k == "audio":
+                    rate, n = _wav_params(ref)
+                    payloads.append(encode_wav(_planted_pixels(ref, 2 * n), rate))
                 else:
                     payloads.append(bytes(p))
             out = pdf.copy()
@@ -250,6 +253,15 @@ def attach_png_payloads(media: DataFrame) -> DataFrame:
             yield out[cols]
 
     return media.select(*cols).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def attach_png_payloads(media: DataFrame) -> DataFrame:
+    """Replace image payloads with REAL PNG files (Arrow-batched):
+    pixels planted from the media_ref hash (``_planted_pixels``),
+    encoded with the stdlib encoder. Audio rows pass through untouched.
+    Everything downstream (feature extraction, resampling) then works
+    on actual decoded pixel data."""
+    return _attach_real_payloads(media, wav=False)
 
 
 def _png_features(w: int, h: int, rgb: bytes) -> np.ndarray:
@@ -348,25 +360,7 @@ def attach_codec_payloads(media: DataFrame) -> DataFrame:
     hash), audio rows become genuine RIFF/PCM WAVs (samples planted
     from the same byte stream). Everything downstream then decodes
     actual bytes — both codec chains, not just the image one."""
-    cols = [f.name for f in MEDIA_SCHEMA.fields]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for k, ref, p in zip(pdf["kind"], pdf["media_ref"], pdf["payload"]):
-                if k == "image":
-                    pw, ph = _png_dims(ref)
-                    payloads.append(encode_png(_planted_pixels(ref, pw * ph * 3), pw, ph))
-                elif k == "audio":
-                    rate, n = _wav_params(ref)
-                    payloads.append(encode_wav(_planted_pixels(ref, 2 * n), rate))
-                else:
-                    payloads.append(bytes(p))
-            out = pdf.copy()
-            out["payload"] = payloads
-            yield out[cols]
-
-    return media.select(*cols).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _attach_real_payloads(media, wav=True)
 
 
 def _wav_features(rate: int, channels: int, pcm: bytes) -> np.ndarray:
