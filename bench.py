@@ -427,6 +427,9 @@ def main() -> None:
             "regex_mentions", "redact_pii", "split_assign", "pack_chunks",
             "decontaminate", "minhash_neardups", "neardup_clusters",
             "training_manifest",
+            # r06: delta canonicalization (CC(old ¾) + incremental merge
+            # of the ¼ delta — times the standing-landing-zone path)
+            "cc_incremental",
         ]
         import pie_spark.queries as Qmod
 

@@ -212,3 +212,105 @@ def adaptive_components(
         hot = list(hot_nodes() if callable(hot_nodes) else hot_nodes)
     salted = salt_edges(edges, hot, salt_k)
     return strip_salted_nodes(connected_components(salted, max_iters))
+
+
+def incremental_components(
+    spark: SparkSession,
+    old_labels: DataFrame,
+    delta_edges: DataFrame,
+    max_iters: int = 20,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """G1-incremental: merge a DELTA of new alias edges into an existing
+    canonical map without recomputing CC over the whole graph (r06).
+
+    At the 10^12-doc design point a standing landing zone never reruns
+    full CC per ingest epoch — the canonical map is a snapshot-table
+    asset and each micro-batch contributes a small set of new edges.
+    This operator updates the map touching the BIG side only twice, with
+    zero shuffles of it:
+
+      1. contract: map delta endpoints through their old components —
+         ``old_labels ⋈ broadcast(delta endpoints)`` (scan #1 of the big
+         map; broadcast hash join, no shuffle). Endpoints absent from
+         the map are brand-new nodes and stay themselves.
+      2. solve small: run CC on the CONTRACTED delta graph, whose node
+         space is {touched old component ids} ∪ {new nodes} — size
+         O(|delta|), independent of corpus size. Reuses
+         :func:`adaptive_components`, so a tiny delta is driver-side
+         union-find and a huge one gets the salted distributed loop.
+      3. relabel: old component ids that merged map to their new
+         component; the final map is ``old_labels LEFT JOIN
+         broadcast(relabel)`` on *component* (scan #2, broadcast again)
+         unioned with the new nodes' labels.
+
+    Correctness invariant (pinned by tests/test_cc.py and the
+    ``cc_incremental`` driver row): the result is EXACTLY
+    ``connected_components(old_edges ∪ delta_edges)``. Why: every old
+    component id is the min member of its component, so min-label over
+    the contracted node set {component ids ∪ new node ids} equals
+    min-label over the full merged node set; components untouched by the
+    delta keep their label because the relabel map only contains touched
+    component ids.
+
+    ``old_labels`` must be a complete (node, component) map whose
+    component ids are min members — i.e. output of any CC in this
+    module. ``delta_edges`` is (src, dst), arbitrary overlap with the
+    old node set.
+    """
+    und = delta_edges.select("src", "dst")
+    touched = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # scan #1 of the big map: labels of touched nodes only (small —
+    # ≤ 2·|delta| rows), eagerly materialized so the three consumers
+    # below don't re-scan old_labels
+    touched_labels = old_labels.join(F.broadcast(touched), "node").localCheckpoint(
+        eager=True
+    )
+    src_m = touched_labels.select(F.col("node").alias("src"), F.col("component").alias("_sc"))
+    dst_m = touched_labels.select(F.col("node").alias("dst"), F.col("component").alias("_dc"))
+    contracted = (
+        delta_edges.join(F.broadcast(src_m), "src", "left")
+        .join(F.broadcast(dst_m), "dst", "left")
+        .select(
+            F.coalesce("_sc", "src").alias("src"),
+            F.coalesce("_dc", "dst").alias("dst"),
+        )
+        # an edge inside one old component contracts to a self-loop:
+        # nothing to solve, and dropping it keeps the sub-graph minimal
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sub = adaptive_components(
+        spark, contracted, max_iters=max_iters, driver_max_edges=driver_max_edges
+    )
+    old_cids = touched_labels.select(F.col("component").alias("node")).distinct()
+    # touched old components → their post-merge label (tiny, broadcast)
+    relabel = (
+        sub.join(F.broadcast(old_cids), "node")
+        .select(F.col("node").alias("component"), F.col("component").alias("_new"))
+        .localCheckpoint(eager=True)
+    )
+    # contracted nodes that are NOT old component ids are brand-new
+    new_nodes = (
+        sub.join(F.broadcast(old_cids), "node", "left_anti")
+        .select("node", "component")
+        # a brand-new node whose only delta edge was a self-loop never
+        # reaches the contracted graph (the self-loop filter drops it)
+        # but IS a node of the merged graph — recover it as a singleton.
+        # All three inputs here are delta-sized.
+        .unionByName(
+            touched.join(touched_labels.select("node"), "node", "left_anti")
+            .join(sub.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # scan #2 of the big map: pure broadcast-join projection — the
+    # plan-shape test pins ZERO hash-partition exchanges here
+    updated = old_labels.join(F.broadcast(relabel), "component", "left").select(
+        "node", F.coalesce("_new", "component").alias("component")
+    )
+    return updated.unionByName(new_nodes)

@@ -170,6 +170,38 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-incremental (r06): delta canonicalization — merge new edges
+    into an EXISTING canonical map without recomputing CC on the whole
+    graph (canon/cc.py:incremental_components; big map scanned twice,
+    never shuffled).
+
+    The driver row pins incremental ≡ full CROSS-ENGINE: edges are the
+    same chain graph as cc_components, deterministically split into
+    old (¾) and delta (¼, doc_id % 4 == 0 endpoints); Spark computes
+    CC(old) then merges the delta incrementally, and the DuckDB oracle
+    computes full CC over ALL edges — any divergence between the
+    incremental path and the ground-truth fixpoint hash-mismatches.
+    cc_components (full-CC on the same graph) moves to the FOLDED
+    pytest oracle; full CC stays driver-checked in cc_canonical_map
+    and inside pipeline_triples_all."""
+    from pie_spark.canon.cc import connected_components, incremental_components
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source", (F.col("doc_id") % 50).alias("g")).orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").cast("string").alias("src"),
+            F.col("doc_id").cast("string").alias("dst"),
+        )
+    )
+    is_delta = (F.col("dst").cast("long") % 4) == 0
+    old_labels = connected_components(edges.filter(~is_delta))
+    return incremental_components(spark, old_labels, edges.filter(is_delta))
+
+
 SQL_CC_COMPONENTS = """
 WITH RECURSIVE base AS (
   SELECT doc_id,
@@ -1806,6 +1838,29 @@ WHERE round(({agree}) / {K_PERMS}, 6) >= {threshold}
 """
 
 
+def q_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (r06): dedup an ingest delta (doc_id % 5
+    == 0) against a standing index built from the rest of the corpus
+    (dedup/incremental.py — standing tables scanned via broadcast
+    probes, never shuffled). Oracle = the FULL-corpus LSH mirror
+    restricted to pairs touching the delta, so the row pins
+    incremental ≡ full cross-engine, including the combined-size
+    boilerplate-guard semantics."""
+    from pie_spark.dedup.incremental import build_index, delta_near_duplicates
+
+    docs = _tp(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    sigs, bk = build_index(docs.filter(~is_new))
+    return delta_near_duplicates(sigs, bk, docs.filter(is_new), threshold=0.5).pairs
+
+
+def _minhash_delta_sql(threshold: float = 0.5, max_bucket: int = 50) -> str:
+    return f"""
+SELECT * FROM ({_minhash_neardups_sql(threshold, max_bucket)})
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: MinHash pair graph → distributed
     CC → (doc_id, cluster_rep). Oracle: the minhash-pair SQL feeding a
@@ -2678,7 +2733,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     # runs inside this row's linking; standalone keeps FOLDED oracle)
     "pipeline_triples_all": (q_pipeline_triples_all, _pipeline_triples_all_sql),
     "cc_canonical_map": (q_cc_canonical_map, _cc_canonical_map_sql()),
-    "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
+    # cc_components folded to FOLDED (r06): slot funds cc_incremental —
+    # the same chain graph, but the Spark side merges a delta into an
+    # existing map (incremental_components) while the oracle computes
+    # the full-graph fixpoint, so the row checks incremental ≡ full
+    # cross-engine; full CC stays driver-checked in cc_canonical_map
+    # and pipeline_triples_all
+    "cc_incremental": (q_cc_incremental, SQL_CC_COMPONENTS),
     "span_invariant": (q_span_invariant, SQL_SPAN_INVARIANT),
     # SQL-checked operator surface
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
@@ -2726,7 +2787,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     "neardup_clusters": (q_neardup_clusters, _neardup_clusters_sql()),
     "simhash_neardups": (q_simhash_neardups, None),  # generated mirror below
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "embedding_neardups": (q_embedding_neardups, _embedding_neardups_sql()),
+    # embedding_neardups folded to FOLDED (r06): embedding_clusters'
+    # oracle already embeds the full cosine-pair SQL as its first CTE,
+    # so the pair stage keeps a driver hash signal there; the slot
+    # funds minhash_delta (incremental dedup vs a standing index —
+    # incremental ≡ full cross-engine, guard semantics included)
+    "minhash_delta": (q_minhash_delta, _minhash_delta_sql()),
     "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
     "embedding_centroids": (q_embedding_centroids, _embedding_centroids_sql()),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE_FORCE),

@@ -175,3 +175,66 @@ def test_adaptive_cc_measured_degree_salting(spark):
         hot_degree_min=0,
     )
     _assert_matches_unionfind(spark, pairs, labels3)
+
+
+def _assert_incremental_matches_full(spark, old_pairs, delta_pairs, **kw):
+    from pie_spark.canon.cc import connected_components, incremental_components
+
+    old = connected_components(
+        spark.createDataFrame(old_pairs, "src string, dst string")
+    )
+    delta = spark.createDataFrame(delta_pairs, "src string, dst string")
+    got = incremental_components(spark, old, delta, **kw)
+    _assert_matches_unionfind(spark, old_pairs + delta_pairs, got)
+
+
+def test_incremental_cc_merges_two_old_components(spark):
+    old = [("a", "b"), ("b", "c"), ("x", "y")]
+    # the delta bridges {a,b,c} and {x,y}; every x/y row must relabel to "a"
+    _assert_incremental_matches_full(spark, old, [("c", "x")])
+
+
+def test_incremental_cc_new_node_becomes_min_label(spark):
+    # new node "0new" sorts below every old node: the whole merged
+    # component must relabel to it, including untouched old members
+    old = [("m1", "m2"), ("m2", "m3")]
+    _assert_incremental_matches_full(spark, old, [("m3", "0new")])
+
+
+def test_incremental_cc_delta_inside_one_component_is_noop(spark):
+    old = [("a", "b"), ("b", "c"), ("x", "y")]
+    _assert_incremental_matches_full(spark, old, [("a", "c")])
+
+
+def test_incremental_cc_disjoint_new_component_and_self_loop(spark):
+    old = [("a", "b")]
+    # q/r/s are brand-new; "z" arrives only as a self-loop and must
+    # survive as a singleton (the self-loop filter edge case)
+    _assert_incremental_matches_full(
+        spark, old, [("q", "r"), ("r", "s"), ("z", "z")]
+    )
+
+
+def test_incremental_cc_empty_delta_returns_old_map(spark):
+    old = [("a", "b"), ("x", "y")]
+    _assert_incremental_matches_full(spark, old, [])
+    # also via the distributed sub-solver path
+    _assert_incremental_matches_full(spark, old, [], driver_max_edges=0)
+
+
+def test_incremental_cc_random_graphs_match_full(spark):
+    """Property: incremental(CC(old), delta) ≡ union-find(old ∪ delta)
+    on random graphs and random splits, via BOTH sub-solver paths
+    (driver union-find and the distributed loop)."""
+    import numpy as np
+
+    for seed in (7, 8):
+        rng = np.random.default_rng(seed)
+        pairs = [
+            (f"n{int(rng.integers(0, 90)):03d}", f"n{int(rng.integers(0, 90)):03d}")
+            for _ in range(int(rng.integers(40, 200)))
+        ]
+        cut = int(rng.integers(1, len(pairs) - 1))
+        old_p, delta_p = pairs[:cut], pairs[cut:]
+        _assert_incremental_matches_full(spark, old_p, delta_p)
+        _assert_incremental_matches_full(spark, old_p, delta_p, driver_max_edges=0)

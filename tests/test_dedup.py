@@ -174,3 +174,109 @@ def test_embedding_near_duplicates(spark):
     pairs = {(r.id_a, r.id_b): r.sim for r in cosine_near_duplicates(emb, threshold=0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.95
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _delta_vs_full(spark, rows, is_new, threshold=0.5, max_bucket=50):
+    """Assert delta_near_duplicates(old-index, new) ≡ full
+    near_duplicates(all) restricted to pairs touching the delta."""
+    from pie_spark.dedup.incremental import build_index, delta_near_duplicates
+    from pie_spark.dedup.minhash import near_duplicates
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    old, new = docs.filter(~is_new(F.col("doc_id"))), docs.filter(is_new(F.col("doc_id")))
+    sigs, bk = build_index(old)
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in delta_near_duplicates(
+            sigs, bk, new, threshold=threshold, max_bucket=max_bucket
+        ).pairs.collect()
+    }
+    new_ids = {r.doc_id for r in new.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in near_duplicates(
+            docs, threshold=threshold, max_bucket=max_bucket
+        ).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == want
+    return got
+
+
+def test_minhash_delta_matches_full_restricted(spark, corpus):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    # delta {2, 5}: 2 pairs with old 1/3 (new×old), 5 pairs with old 4
+    got = _delta_vs_full(spark, rows, lambda c: c.isin(2, 5))
+    assert any(a == 1 and b == 2 for a, b in got)
+    assert any((a, b) == (4, 5) for a, b in got)
+
+
+def test_minhash_delta_new_x_new_and_fuzz(spark):
+    """Random corpora and random splits: incremental ≡ full, including
+    pairs where BOTH sides are in the delta."""
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    for trial in range(3):
+        rows = []
+        for i in range(24):
+            base = [words[int(w)] for w in rng.integers(0, len(words), 12)]
+            rows.append((i, " ".join(base)))
+            if rng.random() < 0.5:  # plant a near dup of it
+                j = int(rng.integers(0, 12))
+                dup = list(base)
+                dup[j] = words[int(rng.integers(0, len(words)))]
+                rows.append((100 + i, " ".join(dup)))
+        pivot = int(rng.integers(1, 99))
+        _delta_vs_full(spark, rows, lambda c, p=pivot: (c % 100) >= p, threshold=0.4)
+
+
+def test_minhash_delta_combined_size_guard(spark):
+    """A bucket under the guard on the OLD side alone but over it once
+    the delta lands must emit nothing — combined-size semantics, same
+    as a full re-run over old ∪ new."""
+    boiler = "spam spam spam spam spam spam spam spam spam spam"
+    rows = [(i, boiler) for i in range(8)]  # identical docs, one bucket
+    # max_bucket=7: old side (6 docs: ids with %4!=0 → 0? compute below)
+    is_new = lambda c: (c % 4) == 0  # noqa: E731  → new = {0, 4}, old = 6 docs
+    got = _delta_vs_full(spark, rows, is_new, threshold=0.4, max_bucket=7)
+    assert got == {}  # 6 old + 2 new = 8 > 7 → guarded out everywhere
+    # and with a roomier guard the same split emits every delta pair
+    got2 = _delta_vs_full(spark, rows, is_new, threshold=0.4, max_bucket=8)
+    assert len(got2) == 2 * 6 + 1  # each new doc × 6 old, plus (0, 4)
+
+
+def test_minhash_delta_standing_tables_not_shuffled(spark, tmp_path):
+    """Plan pin: the standing index tables are scanned as the stream
+    side of broadcast joins — no SortMergeJoin, no hash-partitioning
+    of the index parquet anywhere in the pairs plan."""
+    import contextlib
+    import io
+
+    from pie_spark.dedup.incremental import build_index, delta_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body shared across docs {i % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    sigs, bk = build_index(docs.filter(F.col("doc_id") % 5 != 0))
+    sp, bp = str(tmp_path / "sigs"), str(tmp_path / "bk")
+    sigs.write.parquet(sp)
+    bk.write.parquet(bp)
+    res = delta_near_duplicates(
+        spark.read.parquet(sp),
+        spark.read.parquet(bp),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.0,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    # the verification stage is pure broadcast joins over eagerly
+    # checkpointed delta-sized inputs — zero shuffles; the probe stages
+    # against the standing tables carry explicit broadcast() hints in
+    # dedup/incremental.py, so the index side can never be the build
+    # side of a shuffle join
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan

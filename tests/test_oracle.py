@@ -81,6 +81,13 @@ def _folded_queries():
         # exact distributed quantiles — V-row shuffle, integer ppm
         # rank thresholds, full hash parity here
         ("length_quantiles", q.q_length_quantiles, q.SQL_LENGTH_QUANTILES),
+        # r06: slot funds cc_incremental (incremental ≡ full CC on the
+        # same chain graph); the standalone full-CC query keeps its
+        # recursive-CTE hash oracle here
+        ("cc_components", q.q_cc_components, q.SQL_CC_COMPONENTS),
+        # r06: slot funds minhash_delta; the standalone cosine pair
+        # stage stays driver-checked as embedding_clusters' first CTE
+        ("embedding_neardups", q.q_embedding_neardups, q._embedding_neardups_sql()),
     ]
 
 

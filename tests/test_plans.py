@@ -262,3 +262,23 @@ def test_exact_quantiles_probes_broadcast_no_corpus_sort(spark):
     # plan sits above the V-row aggregate (window), none below the scan
     simple = _explain(q, "formatted")
     assert "HashAggregate" in simple
+
+
+def test_incremental_cc_never_shuffles_the_big_map(spark, tmp_path):
+    """G1-incremental (r06): the final plan over the existing canonical
+    map is Scan → BroadcastHashJoin(LeftOuter) → Project → Union — the
+    10^12-row map is scanned, never hash-partitioned; all delta-sized
+    inputs arrive pre-materialized (localCheckpoint) as broadcasts."""
+    from pie_spark.canon.cc import connected_components, incremental_components
+
+    old = connected_components(
+        spark.createDataFrame([("a", "b"), ("x", "y")], "src string, dst string")
+    )
+    p = str(tmp_path / "labels")
+    old.write.parquet(p)
+    big = spark.read.parquet(p)
+    delta = spark.createDataFrame([("b", "x"), ("q", "r")], "src string, dst string")
+    plan = _explain(incremental_components(spark, big, delta))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
