@@ -303,6 +303,80 @@ class SnapshotTable:
             f"{self.max_retries + 1} times"
         )
 
+    def applied(self, dataset: str, key: str) -> bool:
+        """Has an application key already been committed for a dataset?
+        The exactly-once probe for sinks whose per-epoch work must not
+        re-run at all (e.g. incremental dedup, where re-deduping an
+        epoch against an index that already contains it would corrupt
+        the pair set): a retried epoch checks this FIRST and skips."""
+        return f"{dataset}:{key}" in self._read_manifest().get("applied_keys", [])
+
+    def add_files_many(
+        self,
+        paths: dict[str, str],
+        meta: dict | None = None,
+        key: str | None = None,
+    ) -> int:
+        """``add_files`` for SEVERAL datasets in ONE atomic snapshot —
+        what a sink needs when an epoch's outputs are only consistent
+        together (incremental dedup publishes pairs + sigs + buckets:
+        a reader must never see the index grown without its pairs, and
+        a crash between per-dataset commits would tear them). Same
+        double idempotency as ``add_files``: by path, and by ``key``
+        recorded per dataset (all-or-nothing, since the publish is one
+        CAS)."""
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            applied = m.setdefault("applied_keys", [])
+            if key is not None and all(
+                f"{ds}:{key}" in applied for ds in paths
+            ):
+                return m["current"]
+            cur = (
+                next(s for s in m["snapshots"] if s["id"] == m["current"])
+                if m["current"]
+                else {"datasets": {}, "partitions": {}}
+            )
+            merged: dict[str, str | list[str]] = dict(cur["datasets"])
+            changed = False
+            for ds, path in paths.items():
+                have = _dirs(merged.get(ds, []))
+                if path not in have:
+                    merged[ds] = have + [path]
+                    changed = True
+                if key is not None and f"{ds}:{key}" not in applied:
+                    applied.append(f"{ds}:{key}")
+                    changed = True
+            if not changed:
+                return m["current"]
+            if len(applied) > 10_000:
+                m["applied_keys"] = applied[-10_000:]
+            sid = (m["current"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": merged,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": {
+                        "operation": "add_files",
+                        "paths": dict(paths),
+                        **(meta or {}),
+                    },
+                    "partitions": dict(cur.get("partitions", {})),
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        raise CommitConflictError(
+            f"add_files_many to {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
     # -- maintenance (Iceberg table-maintenance equivalents) -----------------
     def compact(
         self,

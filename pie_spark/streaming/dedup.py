@@ -84,3 +84,91 @@ def streaming_dedup_docs(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_neardup_index(
+    spark,
+    input_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    table,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Streaming NEAR-dup dedup against a standing MinHash index: each
+    micro-batch of landed documents is deduped against everything the
+    landing zone has accumulated (dedup/incremental.py), and the epoch
+    publishes pairs + its index rows (sigs, band-buckets) as ONE atomic
+    snapshot on ``table`` (``add_files_many`` — a reader can never see
+    the index grown without its pairs). Returns micro-batches run.
+
+    Exactly-once is stricter here than for stateless extraction: a
+    retried epoch must not even RECOMPUTE, because its sigs are already
+    in the index and delta-vs-index assumes disjointness — so the sink
+    checks ``table.applied("pairs", epoch-key)`` first and skips
+    committed epochs entirely (the foreachBatch idempotent-write
+    recipe, keyed at the whole-epoch level).
+
+    Accumulated semantics (pinned by tests/test_streaming.py): draining
+    a corpus through any epoch partitioning yields ⋃ pairs ≡ the batch
+    ``near_duplicates`` over the full corpus — a pair lands exactly
+    once, in the epoch its LATER doc arrives — provided no band bucket
+    outgrows ``max_bucket`` mid-stream (the append-only guard semantics
+    documented in dedup/incremental.py).
+
+    Flow-shape note: the standing index is read snapshot-pinned
+    (``table.scan``), so concurrent readers and the in-flight epoch
+    never race; the first epoch bootstraps typed empty index frames
+    from the batch itself (``limit(0)``)."""
+    import os
+
+    from pie_spark.dedup.incremental import build_index, delta_near_duplicates
+    from pie_spark.schemas import DOC_SCHEMA
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    n_batches = 0
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        key = f"epoch-{epoch_id}"
+        if table.applied("pairs", key):
+            return  # committed epoch replayed after a crash: full skip
+        docs = batch_df.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform("spans", lambda sp: F.coalesce(sp["text"], F.lit(""))),
+            ).alias("text"),
+        )
+        if table.current_snapshot() is None:
+            old_sigs, old_bk = build_index(docs.limit(0))
+        else:
+            old_sigs = table.scan(spark, "sigs")
+            old_bk = table.scan(spark, "buckets")
+        res = delta_near_duplicates(
+            old_sigs, old_bk, docs, threshold=threshold, max_bucket=max_bucket
+        )
+        out = {}
+        for name, df in (
+            ("pairs", res.pairs),
+            ("sigs", res.new_sigs),
+            ("buckets", res.new_buckets),
+        ):
+            path = os.path.join(work_dir, name, f"batch-{epoch_id:06d}")
+            df.write.mode("overwrite").parquet(path)  # idempotent on retry
+            out[name] = path
+        table.add_files_many(out, meta={"epoch": epoch_id}, key=key)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

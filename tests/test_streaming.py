@@ -231,3 +231,84 @@ def test_hot_norm_keys_preempt_batch_a4(spark):
     assert "_salt" in buf.getvalue()
     base.unpersist()
     seeded.unpersist()
+
+
+def test_stream_neardup_index_accumulates_to_batch(spark, tmp_path):
+    """Streaming incremental LSH dedup: draining a corpus through ANY
+    epoch partitioning accumulates exactly the batch near_duplicates
+    pair set; the standing index grows atomically per epoch; committed
+    epochs never recompute on replay."""
+    from pie_spark.dedup.minhash import near_duplicates
+    from pie_spark.io.snapshots import SnapshotTable
+    from pie_spark.streaming.dedup import stream_neardup_index
+
+    docs = interleaved_docs(spark, SF_DIR).localCheckpoint(eager=True)
+    half1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    # epoch 2: new docs + near-copies of epoch-1 docs (cross-epoch pairs)
+    # + near-copies of its own docs (within-epoch new×new pairs)
+    clones1 = half1.limit(8).select(
+        F.concat(F.lit("dupA-"), "doc_id").alias("doc_id"), "spans"
+    )
+    half2_base = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    clones2 = half2_base.limit(8).select(
+        F.concat(F.lit("dupB-"), "doc_id").alias("doc_id"), "spans"
+    )
+    half2 = half2_base.unionByName(clones1).unionByName(clones2)
+
+    in_dir = str(tmp_path / "landing")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(str(tmp_path / "ndx"))
+
+    half1.write.mode("append").parquet(in_dir)
+    assert stream_neardup_index(spark, in_dir, work, ckpt, table) >= 1
+    n_pairs_1 = table.scan(spark, "pairs").count()
+
+    # restart with nothing new: no reprocessing, no new snapshots
+    snap_before = table.current_snapshot()
+    stream_neardup_index(spark, in_dir, work, ckpt, table)
+    assert table.current_snapshot() == snap_before
+
+    half2.write.mode("append").parquet(in_dir)
+    stream_neardup_index(spark, in_dir, work, ckpt, table)
+
+    def flat(d):
+        return d.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform("spans", lambda sp: F.coalesce(sp["text"], F.lit(""))),
+            ).alias("text"),
+        )
+
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in near_duplicates(
+            flat(docs.unionByName(half2.filter(F.col("doc_id").startswith("dup")))),
+            threshold=0.5,
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in table.scan(spark, "pairs").collect()
+    }
+    assert got == want
+    assert any(a.startswith("dupA-") or b.startswith("dupA-") for a, b, _ in got)
+    assert any(a.startswith("dupB-") or b.startswith("dupB-") for a, b, _ in got)
+    assert got and n_pairs_1 <= len(got)
+
+    # index coverage: one sig row per doc that produced shingles
+    n_docs = docs.count() + 16
+    assert table.scan(spark, "sigs").count() <= n_docs
+    assert table.scan(spark, "sigs").select("doc_id").distinct().count() == \
+        table.scan(spark, "sigs").count()
+
+    # whole-epoch idempotency: a replayed committed epoch is a full
+    # skip — applied() answers true and add_files_many with the same
+    # key but a bogus path changes nothing
+    assert table.applied("pairs", "epoch-0")
+    before = table.current_snapshot()
+    table.add_files_many(
+        {"pairs": str(tmp_path / "bogus")}, key="epoch-0"
+    )
+    assert table.current_snapshot() == before
