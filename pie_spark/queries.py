@@ -2348,17 +2348,17 @@ mt AS (
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction, Arrow-batched — BOTH modalities
-    real since r06. Image rows carry genuine PNG payloads and go
-    through the stdlib PNG decode (chunk walk, inflate, unfilter);
-    audio rows carry genuine RIFF/PCM WAV payloads and go through the
-    stdlib WAV decode (RIFF chunk walk, fmt parse, int16 frames) —
-    features on both branches are computed from actually-decoded
-    bytes. SQL-checked both ways: the oracle recomputes image features
-    from the planted-pixel recipe and audio features from the
-    planted-sample recipe (sound because decode∘encode is the identity
-    on both codecs — proven in tests/test_media.py round-trip
-    tests)."""
+    """Multimodal feature extraction, Arrow-batched — both modalities
+    real since r06, and since late r06 the image rows exercise THREE
+    real stdlib codecs: a deterministic sha256-bit mix of genuine PNGs
+    (chunk walk, inflate, unfilter) and genuine baseline JPEGs (Huffman
+    entropy decode, dequant, IDCT, media/jpeg.py), plus genuine RIFF/
+    PCM WAVs on audio rows — features on every branch are computed from
+    actually-decoded bytes. SQL-checked: the oracle recomputes features
+    from the planted recipes (PNG/WAV: byte stream, sound because
+    decode∘encode = id; JPEG: block-constant gray subclass, the one
+    the lossy codec round-trips exactly — tests/test_media.py pins all
+    three round-trips)."""
     from pie_spark.media.features import extract_features
 
     feats = extract_features(_media_table(spark, sf_dir))
@@ -2380,6 +2380,18 @@ _SQL_PNG_BYTE = (
     "CAST(('0x' || substr(sha256(media_ref || ':' || CAST({s} // 32 AS VARCHAR)),"
     " ({s} % 32) * 2 + 1, 2))::UBIGINT AS BIGINT)"
 )
+
+# image payload codec selector (attach-pass recipe, hex 21-22 parity):
+# TRUE -> the row carries a genuine baseline JPEG, FALSE -> a genuine PNG
+_SQL_IMG_JPEG = "(('0x' || substr(sha256(media_ref), 21, 2))::UBIGINT % 2 = 1)"
+
+# JPEG payload BLOCK dims (hex 23-26, 1..3; pixel dims are blocks*8 —
+# the block-constant planted subclass on which the lossy codec
+# round-trips exactly, media/jpeg.py docstring)
+_SQL_JPEG_DIMS = """
+  CAST(('0x' || substr(sha256(media_ref), 23, 2))::UBIGINT % 3 + 1 AS INT) AS jbw,
+  CAST(('0x' || substr(sha256(media_ref), 25, 2))::UBIGINT % 3 + 1 AS INT) AS jbh
+"""
 
 
 def _media_features_sql() -> str:
@@ -2420,6 +2432,12 @@ def _media_features_sql() -> str:
         png_feats.append(f"CAST({s_i} / (255.0 * {n_i}) AS FLOAT)")
     png_total = " + ".join(f"CAST({f} AS DOUBLE)" for f in png_feats)
     byte_t = _SQL_PNG_BYTE.format(s="t")
+    # JPEG rows: decoded buffer byte t belongs to pixel t//3 of a
+    # jbw*8-wide image; gray value = planted byte at 8x8-block index
+    # (y//8)*jbw + x//8 — the block-constant recipe the attach pass
+    # encodes and the real decoder round-trips exactly
+    jblk = "((((t // 3) // (jbw * 8)) // 8) * jbw + ((t // 3) % (jbw * 8)) // 8)"
+    byte_j = _SQL_PNG_BYTE.format(s=jblk)
     return f"""
 WITH {_SQL_MEDIA_CTE.strip()},
 aw AS (SELECT doc_id, media_ref, kind,
@@ -2432,10 +2450,17 @@ au AS (SELECT doc_id, media_ref, kind, rate, n,
               list_transform(range(n),
                 t -> {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END) AS sv
        FROM aw),
-imgs AS (SELECT doc_id, media_ref, kind, {_SQL_PNG_DIMS.strip()} FROM mt WHERE kind = 'image'),
+pimgs AS (SELECT doc_id, media_ref, kind, {_SQL_PNG_DIMS.strip()}
+          FROM mt WHERE kind = 'image' AND NOT {_SQL_IMG_JPEG}),
+jimgs AS (SELECT doc_id, media_ref, kind, {_SQL_JPEG_DIMS.strip()}
+          FROM mt WHERE kind = 'image' AND {_SQL_IMG_JPEG}),
 ib AS (SELECT doc_id, media_ref, kind, pw, ph,
               list_transform(range(pw * ph * 3), t -> {byte_t}) AS bts
-       FROM imgs)
+       FROM pimgs
+       UNION ALL
+       SELECT doc_id, media_ref, kind, jbw * 8 AS pw, jbh * 8 AS ph,
+              list_transform(range(jbw * 8 * jbh * 8 * 3), t -> {byte_j}) AS bts
+       FROM jimgs)
 SELECT doc_id, media_ref, kind, round({wav_total}, 5) AS feat_sum FROM au
 UNION ALL
 SELECT doc_id, media_ref, kind, round({png_total}, 5) AS feat_sum FROM ib
@@ -2500,11 +2525,12 @@ def q_media_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and make the driver's value-hash fragile.
 
     The resize branch is the REAL path (VERDICT r04 next#4): image
-    payloads are genuine PNGs, the operator decodes them with the
-    stdlib codec and nearest-neighbor-resamples the actual pixels;
+    payloads are a deterministic mix of genuine PNGs and genuine
+    baseline JPEGs (late r06), the operator decodes them with the
+    stdlib codecs and nearest-neighbor-resamples the actual pixels;
     payload_md5 hashes the resampled RGB buffer. The oracle reproduces
-    that buffer from the planted-pixel recipe (sound because
-    decode∘encode is the identity)."""
+    that buffer from the planted recipes (PNG: decode∘encode = id;
+    JPEG: the block-constant subclass round-trips exactly)."""
     from pie_spark.media.features import (
         attach_png_payloads,
         resample_png_images,
@@ -2535,24 +2561,39 @@ def q_media_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_transforms_sql(out_w: int = 8, out_h: int = 8) -> str:
-    # resize branch = the REAL PNG resample: decoded dims (pw, ph) →
-    # integer aspect-fit (tw, th) → nearest-neighbor source index per
-    # output byte → planted byte stream → md5 of the uppercase hex
-    # (Spark's F.hex is uppercase). All per-row list ops, no unnest.
+    # resize branch = the REAL image resample over BOTH codecs: decoded
+    # dims (pw, ph) → integer aspect-fit (tw, th) → nearest-neighbor
+    # source index per output byte → planted byte (stream recipe for
+    # PNG rows; block-constant recipe for JPEG rows, jbw > 0 marks
+    # them) → md5 of the uppercase hex (Spark's F.hex is uppercase).
+    # All per-row list ops, no unnest.
     src = (
         f"(((i // (tw * 3)) * ph // th) * pw"
         f" + ((i % (tw * 3)) // 3) * pw // tw) * 3 + (i % 3)"
     )
+    # source-buffer byte s -> planted byte: PNG = stream byte s; JPEG =
+    # stream byte at the 8x8-block index of pixel s//3 in a pw-wide image
+    jblk = "((((s // 3) // pw) // 8) * jbw + ((s // 3) % pw) // 8)"
     byte_hex = (
-        "substr(sha256(media_ref || ':' || CAST(s // 32 AS VARCHAR)),"
-        " (s % 32) * 2 + 1, 2)"
+        "substr(sha256(media_ref || ':' || CAST({b} // 32 AS VARCHAR)),"
+        " ({b} % 32) * 2 + 1, 2)"
     )
+    png_hex = byte_hex.format(b="s")
+    jpeg_hex = byte_hex.format(b=jblk)
     frames = _SQL_MEDIA_FRAME_SAMPLE
     return f"""
 WITH {_SQL_MEDIA_CTE.strip()},
-imgs AS (SELECT doc_id, media_ref, {_SQL_PNG_DIMS.strip()} FROM mt WHERE kind = 'image'),
+imgs AS (
+  SELECT doc_id, media_ref, pw, ph, 0 AS jbw
+  FROM (SELECT doc_id, media_ref, {_SQL_PNG_DIMS.strip()}
+        FROM mt WHERE kind = 'image' AND NOT {_SQL_IMG_JPEG})
+  UNION ALL
+  SELECT doc_id, media_ref, jbw * 8 AS pw, jbh * 8 AS ph, jbw
+  FROM (SELECT doc_id, media_ref, {_SQL_JPEG_DIMS.strip()}
+        FROM mt WHERE kind = 'image' AND {_SQL_IMG_JPEG})
+),
 dims AS (
-  SELECT doc_id, media_ref, pw, ph,
+  SELECT doc_id, media_ref, pw, ph, jbw,
          greatest(1, least({out_w} * ph, {out_h} * pw) // ph) AS tw,
          greatest(1, least({out_w} * ph, {out_h} * pw) // pw) AS th
   FROM imgs
@@ -2562,7 +2603,7 @@ rs AS (
          md5(upper(array_to_string(
            list_transform(
              list_transform(range(tw * th * 3), i -> {src}),
-             s -> {byte_hex}), ''))) AS payload_md5
+             s -> CASE WHEN jbw = 0 THEN {png_hex} ELSE {jpeg_hex} END), ''))) AS payload_md5
   FROM dims
 ),
 f AS ({frames})
