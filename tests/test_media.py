@@ -450,3 +450,101 @@ def test_decode_image_jpeg_features_from_real_pixels():
     for i in range(FEATURE_DIM - 2):
         cls = [rgb[t] for t in range(i, len(rgb), FEATURE_DIM - 2)]
         assert f[i + 2] == np.float32(sum(cls) / (255.0 * len(cls)))
+
+
+# --- real MJPEG/AVI video codec (late r06: the video third of ---
+# --- missing#3 — RIFF container + the real baseline JPEG codec) ---
+
+
+def test_avi_mjpeg_round_trip_exact():
+    """Planted block-constant gray frames round-trip exactly through
+    container + lossy codec (the JPEG-exact subclass)."""
+    import numpy as np
+
+    from pie_spark.media.jpeg import encode_jpeg
+    from pie_spark.media.video import decode_avi_mjpeg, encode_avi_mjpeg
+
+    rng = np.random.default_rng(11)
+    want = []
+    frames = []
+    for _ in range(4):
+        vals = rng.integers(0, 256, size=(2, 1), dtype=np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        rgb = np.repeat(px[..., None], 3, axis=2).tobytes()
+        want.append(rgb)
+        frames.append(encode_jpeg(rgb, 8, 16))
+    avi = encode_avi_mjpeg(frames, 8, 16, fps_num=25)
+    w, h, num, den, got = decode_avi_mjpeg(avi)
+    assert (w, h, num, den) == (8, 16, 25, 1)
+    assert got == want
+
+
+def test_avi_decoder_rejects_non_mjpeg_and_corruption():
+    import numpy as np
+
+    from pie_spark.media.jpeg import encode_jpeg
+    from pie_spark.media.video import decode_avi_mjpeg, decode_video, encode_avi_mjpeg
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8).tobytes()
+    avi = bytearray(encode_avi_mjpeg([encode_jpeg(rgb, 8, 8)], 8, 8))
+    i = avi.index(b"vids") + 4
+    avi[i : i + 4] = b"H264"  # foreign codec: honestly gated
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(bytes(avi))
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42-not-decodable")
+
+
+def test_sample_video_frames_real_decode(spark, media):
+    """Video rows carry genuine AVI/MJPEG clips; frame sampling decodes
+    the actual frames and features match the planted recipe exactly."""
+    import numpy as np
+
+    from pie_spark.media.features import FEATURE_DIM, _planted_pixels
+    from pie_spark.media.video import (
+        _video_params,
+        attach_mjpeg_payloads,
+        sample_video_frames,
+    )
+
+    vids = media.limit(12).withColumn("kind", F.lit("video"))
+    m = attach_mjpeg_payloads(vids)
+    rows = sample_video_frames(m, every_ms=100).collect()
+    assert rows
+    by_ref: dict = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for ref, rs in by_ref.items():
+        bw, bh, n, fps = _video_params(ref)
+        dur = n * 1000 // fps
+        assert len(rs) == len(range(0, max(dur, 1), 100))
+        planted = _planted_pixels(ref, bw * bh * n)
+        for r in sorted(rs, key=lambda x: x.ts_ms):
+            fi = min(r.ts_ms * fps // 1000, n - 1)
+            assert r.frame_idx == fi
+            # recompute features from the recipe, independent of decode
+            blocks = planted[fi * bw * bh : (fi + 1) * bw * bh]
+            px = np.repeat(
+                np.repeat(
+                    np.frombuffer(blocks, dtype=np.uint8).reshape(bh, bw), 8, 0
+                ),
+                8, 1,
+            )
+            rgb = np.repeat(px[..., None], 3, axis=2).ravel()
+            want = [np.float32(bw * 8 / 256.0), np.float32(bh * 8 / 256.0)]
+            mm = FEATURE_DIM - 2
+            for i in range(mm):
+                cls = rgb[i::mm].astype(int)
+                want.append(np.float32(int(cls.sum()) / (255.0 * len(cls))))
+            assert r.features == [float(x) for x in want]
+    # determinism across partitioning
+    again = {
+        (r.media_ref, r.ts_ms): r.features
+        for r in sample_video_frames(
+            attach_mjpeg_payloads(vids.repartition(5)), every_ms=100
+        ).collect()
+    }
+    for r in rows:
+        assert again[(r.media_ref, r.ts_ms)] == r.features
