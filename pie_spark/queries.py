@@ -587,10 +587,40 @@ GROUP BY s_nationkey
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: HLL approximate distinct (rows-only — estimator-specific)."""
-    return _t(spark, sf_dir, "orders").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    """A2: HLL approximate distinct — HASH-checked since late r06, the
+    last rows-only row closed. The five-round floor was Spark's
+    black-box approx_count_distinct (engine-specific registers); the
+    row now runs OUR deterministic HLL (pie_spark/link/hll.py —
+    sha256-derived registers, one partial agg, exact integer register
+    sum, one shared-literal float division), which DuckDB reproduces
+    bit-for-bit. l_orderkey at sf0.01 has ~15k distinct >> 2.5·m=640,
+    so the checked value sits in the plain-HLL branch (no libm ln on
+    the driver path; the linear-counting branch is pytest-pinned).
+    Native approx_count_distinct stays in A4/stats as the production
+    shortcut; this row proves the ALGORITHM cross-engine. The exact
+    count rides along to show the estimator lands (±1.04/√256 ≈ 6.5%)."""
+    from pie_spark.link.hll import hll_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_estimate(li, "l_orderkey", p=8)
+    exact = li.agg(F.countDistinct("l_orderkey").cast("long").alias("exact_orders"))
+    return est.crossJoin(exact).select(
+        "p", "m", "register_sum", "empty_buckets",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_orders",
     )
+
+
+def _approx_distinct_sql() -> str:
+    from pie_spark.link.hll import hll_estimate_sql
+
+    inner = hll_estimate_sql("SELECT l_orderkey FROM lineitem", "l_orderkey", p=8)
+    return f"""
+WITH est AS ({inner}),
+ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders FROM lineitem)
+SELECT p, m, register_sum, empty_buckets, round(estimate, 4) AS estimate, exact_orders
+FROM est CROSS JOIN ex
+"""
 
 
 def q_prf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2803,7 +2833,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], object]] = {
     "triple_dedup": (q_triple_dedup, SQL_TRIPLE_DEDUP),
     "anti_join_delta": (q_anti_join_delta, SQL_ANTI_JOIN_DELTA),
     "salted_hot_join": (q_salted_hot_join, SQL_SALTED_HOT_JOIN),
-    "approx_distinct": (q_approx_distinct, None),
+    "approx_distinct": (q_approx_distinct, _approx_distinct_sql),
     "prf_score": (q_prf_score, SQL_PRF_SCORE),
     # training-data pipeline ops
     "doc_stats": (q_doc_stats, _doc_stats_sql()),
