@@ -1597,6 +1597,115 @@ SELECT token, tf, df FROM v ORDER BY tf DESC, token ASC LIMIT 25
 """
 
 
+BPE_N_MERGES = 24
+_BPE_LAST_SF_DIR: str | None = None
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (r06 operator, born folded —
+    registry at the 50 cap): the merge table (rank, left, right,
+    pair_count) trained by the native-DataFrame Sennrich loop
+    (pie_spark/text/bpe.py — one corpus-sized word-frequency pass, then
+    vocabulary-sized iterations only). The oracle replays training in
+    the independent plain-Python trainer over DuckDB-read word
+    frequencies from the SAME parquet and inlines the merge sequence as
+    VALUES (the trained-IVF Lloyd-replay precedent), so the row checks
+    Spark-BPE ≡ Python-BPE on identical input, every rank."""
+    from pie_spark.text.bpe import train_bpe
+
+    global _BPE_LAST_SF_DIR
+    _BPE_LAST_SF_DIR = sf_dir
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return train_bpe(docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_merges_sql() -> str:
+    """Lazy oracle: independent Python BPE replay over word frequencies
+    DuckDB reads from the same documents parquet q_bpe_merges trained
+    on (same split semantics: literal single-space split, empties
+    dropped)."""
+    import os
+
+    import duckdb
+
+    from pie_spark.text.bpe import train_bpe_reference
+
+    base = _BPE_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""
+        SELECT word, COUNT(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM read_parquet('{base}/documents.parquet')
+        ) WHERE word <> '' GROUP BY word
+        """
+    ).fetchall()
+    con.close()
+    merges = train_bpe_reference(
+        [(w, int(f)) for w, f in wf], n_merges=BPE_N_MERGES
+    )
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"(CAST({rank} AS INTEGER), '{_q(l)}', '{_q(r)}', CAST({n} AS BIGINT))"
+        for rank, l, r, n in merges
+    )
+    return (
+        f'SELECT * FROM (VALUES {values}) '
+        f'AS t("rank", "left", "right", pair_count)'
+    )
+
+
+PAGERANK_ITERS = 10
+
+
+def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-importance PageRank over the canonical alias graph (r06
+    KG-analytics operator, born folded — registry at the 50 cap):
+    exact-integer power iteration (graph/pagerank.py) on the bipartite
+    norm_key↔entity dictionary graph, both edge directions so neither
+    side is a mass sink. The oracle replays the identical integer
+    recipe in the independent plain-Python implementation over the
+    closed-form dictionary (the cc_canonical_map VALUES precedent) —
+    the row checks Spark-PR ≡ Python-PR at every node, every unit."""
+    from pie_spark.canon.edges import build_edges
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.graph.pagerank import pagerank
+
+    fwd = build_edges(entity_dict_df(spark))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=PAGERANK_ITERS)
+
+
+def _pagerank_entities_sql() -> str:
+    """Lazy oracle: plain-Python PageRank replay over the closed-form
+    dictionary edge set, inlined as VALUES."""
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+    from pie_spark.graph.pagerank import pagerank_reference
+
+    fwd = sorted(
+        {(f"k:{e.norm_key}", f"e:{e.entity_id}") for e in dictionary_entries()}
+    )
+    edge_list = fwd + [(d, s) for s, d in fwd]
+    ranks = pagerank_reference(edge_list, iters=PAGERANK_ITERS)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({r} AS BIGINT))" for n, r in sorted(ranks.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
+
+
 def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch estimates vs true counts for the top-25 tokens
     (est ≥ tf always; bounded overestimate — the sublinear heavy-hitter

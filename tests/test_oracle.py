@@ -88,6 +88,15 @@ def _folded_queries():
         # r06: slot funds minhash_delta; the standalone cosine pair
         # stage stays driver-checked as embedding_clusters' first CTE
         ("embedding_neardups", q.q_embedding_neardups, q._embedding_neardups_sql()),
+        # r06 new operator, born folded (registry at the 50 cap):
+        # distributed BPE training — the lazy oracle replays the merge
+        # loop in the independent Python trainer over DuckDB-read word
+        # freqs and inlines the sequence as VALUES (Lloyd precedent)
+        ("bpe_merges", q.q_bpe_merges, q._bpe_merges_sql),
+        # r06 new operator, born folded: exact-integer PageRank over
+        # the canonical alias graph — oracle = independent Python
+        # replay inlined as VALUES (cc_canonical_map precedent)
+        ("pagerank_entities", q.q_pagerank_entities, q._pagerank_entities_sql),
     ]
 
 
