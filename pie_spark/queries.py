@@ -1706,6 +1706,82 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+BM25_QUERY_TERMS = ["customer", "merge", "spark", "window"]
+BM25_TOP_K = 50
+_BM25_LAST_SF_DIR: str | None = None
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (r06 operator, born folded — registry at
+    the 50 cap): fit term stats over the documents corpus, score a
+    fixed normalized query, return the total-ordered top 50 (score
+    desc, doc_id asc). Both engines evaluate the SAME score-expression
+    text built by text/bm25.py:score_expr_sql from exact-int inputs,
+    so the hash check covers every micro-unit of every score."""
+    from pie_spark.text.bm25 import fit_bm25, score_query
+
+    global _BM25_LAST_SF_DIR
+    _BM25_LAST_SF_DIR = sf_dir
+    d = _tp(spark, sf_dir, "documents")
+    idx = fit_bm25(d)
+    return score_query(d, idx, BM25_QUERY_TERMS, top_k=BM25_TOP_K)
+
+
+def _bm25_topk_sql() -> str:
+    """Lazy oracle: DuckDB replays fit + scoring on the same parquet;
+    the corpus constants (N docs, total token length) are computed
+    with the mirrored tokenizer and inlined as literals so the idf and
+    score expressions are TEXTUALLY the ones Spark evaluated."""
+    import os
+
+    import duckdb
+
+    from pie_spark.text.bm25 import idf_expr_sql, score_expr_sql
+
+    base = _BM25_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    n, tl = con.execute(
+        f"""
+        SELECT CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(len(list_filter({_DUCK_TOKS}, x -> x <> ''))), 0) AS BIGINT)
+        FROM read_parquet('{base}/documents.parquet') documents
+        """
+    ).fetchone()
+    con.close()
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_DUCK_TOKS}, x -> x <> '') AS toks FROM documents
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks) _
+  WHERE term IN ({terms_sql}) GROUP BY term
+),
+stats AS (SELECT term, df, {idf_expr_sql(int(n))} AS idf_micro FROM dfreq),
+hits AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM hits WHERE term IN ({terms_sql}) GROUP BY 1, 2, 3
+),
+per_term AS (
+  SELECT doc_id, {score_expr_sql(int(n), int(tl), 1.2, 0.75)} AS s_micro
+  FROM tf JOIN stats USING (term)
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, n_matched, bm25_micro
+FROM scored ORDER BY bm25_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}
+"""
+
+
 def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch estimates vs true counts for the top-25 tokens
     (est ≥ tf always; bounded overestimate — the sublinear heavy-hitter

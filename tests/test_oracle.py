@@ -97,6 +97,11 @@ def _folded_queries():
         # the canonical alias graph — oracle = independent Python
         # replay inlined as VALUES (cc_canonical_map precedent)
         ("pagerank_entities", q.q_pagerank_entities, q._pagerank_entities_sql),
+        # r06 new operator, born folded: BM25 top-k retrieval — the
+        # lazy oracle replays fit + scoring in DuckDB with the corpus
+        # constants inlined so both engines evaluate the identical
+        # score-expression text (lm.py integer-micro discipline)
+        ("bm25_topk", q.q_bm25_topk, q._bm25_topk_sql),
     ]
 
 
