@@ -1706,6 +1706,47 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+SESSION_GAP_SEC = 600
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A8: gap-based sessionization + per-session rollup over the
+    events table (r06 operator, born folded — registry at the 50 cap).
+    One shuffle: both window passes and the rollup share the user_id
+    partitioning. All arithmetic in exact integer micros/centis, so
+    the hash check covers every session boundary and every sum."""
+    from pie_spark.events.sessions import session_stats, sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(sessionize(e, gap_sec=SESSION_GAP_SEC))
+
+
+def _event_sessions_sql() -> str:
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+FROM n GROUP BY 1, 2
+"""
+
+
 BM25_QUERY_TERMS = ["customer", "merge", "spark", "window"]
 BM25_TOP_K = 50
 _BM25_LAST_SF_DIR: str | None = None

@@ -102,6 +102,9 @@ def _folded_queries():
         # constants inlined so both engines evaluate the identical
         # score-expression text (lm.py integer-micro discipline)
         ("bm25_topk", q.q_bm25_topk, q._bm25_topk_sql),
+        # r06 new operator, born folded: gap-based sessionization —
+        # exact integer-micro arithmetic end to end, one shuffle
+        ("event_sessions", q.q_event_sessions, q._event_sessions_sql()),
     ]
 
 
