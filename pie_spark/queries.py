@@ -1706,6 +1706,50 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+LPA_ITERS = 5
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: label-propagation communities over the canonical alias
+    graph (r06 operator, born folded — registry at the 50 cap):
+    deterministic synchronous LPA (graph/lpa.py — integer votes,
+    total-ordered argmax, self-vote damping) on the same bipartite
+    norm_key↔entity graph CC and PageRank run on. The oracle replays
+    the identical recipe in the independent plain-Python
+    implementation over the closed-form dictionary, inlined as VALUES
+    (the pagerank_entities precedent)."""
+    from pie_spark.canon.edges import build_edges
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.graph.lpa import label_propagation
+
+    fwd = build_edges(entity_dict_df(spark))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=LPA_ITERS)
+
+
+def _lpa_communities_sql() -> str:
+    """Lazy oracle: plain-Python LPA replay over the closed-form
+    dictionary edge set, inlined as VALUES."""
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+    from pie_spark.graph.lpa import lpa_reference
+
+    fwd = sorted(
+        {(f"k:{e.norm_key}", f"e:{e.entity_id}") for e in dictionary_entries()}
+    )
+    edge_list = fwd + [(d, s) for s, d in fwd]
+    labels = lpa_reference(edge_list, iters=LPA_ITERS)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', '{_q(l)}')" for n, l in sorted(labels.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, label)"
+
+
 SESSION_GAP_SEC = 600
 
 

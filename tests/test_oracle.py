@@ -105,6 +105,9 @@ def _folded_queries():
         # r06 new operator, born folded: gap-based sessionization —
         # exact integer-micro arithmetic end to end, one shuffle
         ("event_sessions", q.q_event_sessions, q._event_sessions_sql()),
+        # r06 new operator, born folded: deterministic label-propagation
+        # communities — oracle = independent Python replay as VALUES
+        ("lpa_communities", q.q_lpa_communities, q._lpa_communities_sql),
     ]
 
 
