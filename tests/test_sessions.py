@@ -83,3 +83,63 @@ def test_single_exchange_plan(spark):
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 2, plan  # 1 = the repartition input, 1 = user_id
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---- streaming twin (streaming/sessions.py) ----
+
+def _write_chunks(spark, tmp):
+    """Three chronologically-named event files; user 1's second session
+    and user 2's first session each SPAN a file boundary, so state must
+    carry across micro-batches for parity to hold."""
+    import os
+    chunks = [ROWS[:3], ROWS[3:5], ROWS[5:]]
+    d = os.path.join(tmp, "events")
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"chunk-{i:03d}"))
+    return os.path.join(d, "chunk-*")
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    from pie_spark.streaming.sessions import latest_sessions, stream_sessions
+
+    src = _write_chunks(spark, str(tmp_path))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_sessions(spark, src, out, ckpt, gap_sec=600, max_files_per_trigger=1)
+
+    batch = sorted(
+        tuple(r)
+        for r in session_stats(sessionize(_events(spark), gap_sec=600))
+        .select(
+            "user_id", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us", "n_clicks", "value_centi",
+        )
+        .collect()
+    )
+    streamed = sorted(tuple(r) for r in latest_sessions(spark, out).collect())
+    assert streamed == batch
+
+    # idempotent re-drain: nothing new to read, result unchanged
+    stream_sessions(spark, src, out, ckpt, gap_sec=600, max_files_per_trigger=1)
+    assert sorted(tuple(r) for r in latest_sessions(spark, out).collect()) == batch
+
+
+def test_stream_session_spans_batches(spark, tmp_path):
+    """The boundary-crossing proof: with one file per micro-batch, the
+    (4, 705s) event lands in a LATER batch than (3, 700s) yet both must
+    be one session — only cross-batch keyed state can do that."""
+    from pie_spark.streaming.sessions import latest_sessions, stream_sessions
+
+    src = _write_chunks(spark, str(tmp_path))
+    stream_sessions(
+        spark, src, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        gap_sec=600, max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in latest_sessions(spark, str(tmp_path / "o2")).collect()
+    }
+    assert got[(1, 2)] == 2  # events 3 (chunk-1) + 4 (chunk-2)
+    assert got[(2, 1)] == 2  # events 5 (chunk-1) + 6 (chunk-2)
