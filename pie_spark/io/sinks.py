@@ -39,3 +39,43 @@ def write_triples(
     return table.commit_partitioned(
         {"triples": (bucketed, ["pred"]), "lineage": (lineage, [])}, meta=sid_meta
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    out_dir: str,
+    sort_cols: list[str],
+    num_files: int,
+    max_records_per_file: int = 0,
+) -> None:
+    """O4: range-partitioned globally-sorted layout writer.
+
+    100 TB tables are read many more times than written; a layout
+    sorted on the dominant filter/join key turns full scans into
+    pruned ones (parquet row-group min/max stats line up with the
+    predicate) and merge joins into zero-shuffle ones. This is the
+    Spark-native equivalent of a clustered/z-ordered rewrite for the
+    single-key case:
+
+    * ``repartitionByRange`` samples the key distribution and cuts
+      BALANCED ranges (a hash layout would scatter the key; a naive
+      ``orderBy`` collapses to one task at write time) — skewed keys
+      get more files, empty ranges none.
+    * ``sortWithinPartitions`` orders inside each range → the files
+      are GLOBALLY sorted end-to-end (range i's max ≤ range i+1's
+      min), verified by tests/test_sources.py over the written files.
+    * ``maxRecordsPerFile`` bounds file size without another shuffle —
+      the row-group pruning granularity knob.
+
+    Determinism note: range boundaries come from Spark's reservoir
+    sample, so FILE SPLITS may vary across runs — the row SET and the
+    within/between-file ordering contract do not (asserted, not
+    assumed). For bit-stable file splits use the bucketed writer above.
+    """
+    shaped = df.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    w = shaped.write.mode("overwrite")
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(out_dir)

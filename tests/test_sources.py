@@ -54,3 +54,37 @@ def test_dictionary_csv_and_json(spark, tmp_path):
     pj = str(tmp_path / "dict_json")
     d.write.json(pj)
     assert {tuple(r) for r in read_dictionary(spark, pj, fmt="json").collect()} == want
+
+
+def test_write_sorted_global_order(spark, tmp_path):
+    """O4 layout writer: every written file is internally sorted AND the
+    files' key ranges are pairwise disjoint (global order), with the
+    row set preserved exactly; maxRecordsPerFile caps file size."""
+    import glob
+
+    from pie_spark.io.sinks import write_sorted
+
+    docs = interleaved_docs(spark, SF_DIR)
+    out = str(tmp_path / "sorted")
+    write_sorted(docs, out, ["doc_id"], num_files=5, max_records_per_file=200)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 5
+    ranges = []
+    total = 0
+    for f in files:
+        ids = [r.doc_id for r in spark.read.parquet(f).select("doc_id").collect()]
+        assert ids == sorted(ids), f  # within-file order
+        assert len(ids) <= 200  # maxRecordsPerFile honored
+        if ids:
+            ranges.append((min(ids), max(ids)))
+            total += len(ids)
+    # between-file order: ranges sorted by min must be pairwise disjoint
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # row set preserved
+    assert total == docs.count()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        r.doc_id for r in docs.collect()
+    }
