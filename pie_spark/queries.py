@@ -1706,6 +1706,124 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+DSIR_FRAC_PPM = 250_000
+_DSIR_LAST_SF_DIR: str | None = None
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: DSIR-style importance selection (r06 operator, born folded
+    — registry at the 50 cap): target LM fit on the doc_id%4==0
+    reference slice, raw LM on the whole pool, per-doc importance =
+    exact micro-bit total-cost difference, top 25 % kept by the exact
+    keep-count threshold. Every float the oracle must match is the
+    per-model-row ln already hash-proven by lm_scores; all reductions
+    are exact longs."""
+    from pie_spark.prep.dsir import importance_scores, select_top_fraction
+    from pie_spark.text.lm import fit_bigram_lm
+
+    global _DSIR_LAST_SF_DIR
+    _DSIR_LAST_SF_DIR = sf_dir
+    d = _tp(spark, sf_dir, "documents")
+    with fit_bigram_lm(d.filter(F.col("doc_id") % 4 == 0), add_k=0.5) as tgt, \
+            fit_bigram_lm(d, add_k=0.5) as raw:
+        scores = importance_scores(d, tgt, raw)
+        return select_top_fraction(scores, DSIR_FRAC_PPM)
+
+
+def _lm_total_ctes(tag: str, ref_where: str, add_k: float = 0.5) -> str:
+    """CTE block mirroring ``score_docs(..., total=True)`` for one
+    bigram LM fit on ``toks`` rows satisfying ``ref_where`` — the same
+    per-row expressions as the hash-green _lm_scores_sql, with the
+    exact SUM instead of the floored mean. Multi-referenced CTEs are
+    AS MATERIALIZED (DuckDB re-inlines per reference otherwise — the
+    251 s lesson from the whole-pipeline oracle)."""
+    ln2 = "0.6931471805599453"
+    return f"""
+ref_{tag} AS (SELECT toks FROM toks WHERE {ref_where}),
+uni_{tag} AS MATERIALIZED (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM ref_{tag}) _ GROUP BY 1
+),
+vv_{tag} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_{tag}),
+ref_bi_{tag} AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+        FROM ref_{tag}) _ GROUP BY 1, 2
+),
+cost_{tag} AS MATERIALIZED (
+  SELECT w1, w2,
+         CAST(round(-(ln({add_k} + c12) - ln(c1 + {add_k} * v)) / {ln2} * 1000000)
+              AS BIGINT) AS cost_micro
+  FROM ref_bi_{tag} JOIN uni_{tag} USING (w1), vv_{tag}
+),
+charged_{tag} AS (
+  SELECT doc_id,
+         coalesce(cost_{tag}.cost_micro,
+                  CASE WHEN uni_{tag}.c1 IS NOT NULL THEN
+                    CAST(round(-(ln({add_k}) - ln(uni_{tag}.c1 + {add_k} * vv_{tag}.v)) / {ln2} * 1000000)
+                         AS BIGINT) END,
+                  CAST(round(ln(vv_{tag}.v) / {ln2} * 1000000) AS BIGINT)) AS pc
+  FROM doc_bi
+  LEFT JOIN cost_{tag} USING (w1, w2)
+  LEFT JOIN uni_{tag} USING (w1), vv_{tag}
+),
+agg_{tag} AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(pc) AS BIGINT) AS cost
+  FROM charged_{tag} GROUP BY doc_id
+),
+tot_{tag} AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(a.n_bigrams, 0) AS n_bigrams,
+         coalesce(a.cost,
+                  (SELECT CAST(round(ln(v) / {ln2} * 1000000) AS BIGINT) FROM vv_{tag})) AS cost
+  FROM documents d LEFT JOIN agg_{tag} a USING (doc_id)
+)"""
+
+
+def _dsir_select_sql() -> str:
+    """Lazy oracle: two LM replays (target slice, whole pool) over the
+    mirrored tokenizer, exact total-cost difference, and the K-th-
+    largest threshold via ORDER BY ... LIMIT 1 OFFSET K-1 (identical
+    keep-≥-threshold semantics to the Spark rank arithmetic)."""
+    import os
+
+    import duckdb
+
+    base = _DSIR_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{base}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    k = (DSIR_FRAC_PPM * int(n) + 999_999) // 1_000_000
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter({_DUCK_TOKS}, x -> x <> '') AS toks FROM documents
+),
+doc_bi AS MATERIALIZED (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                             i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+        FROM toks) _
+),
+{_lm_total_ctes("t", "doc_id % 4 = 0")},
+{_lm_total_ctes("r", "TRUE")},
+scored AS MATERIALIZED (
+  SELECT t.doc_id, t.n_bigrams,
+         CAST(r.cost - t.cost AS BIGINT) AS importance_micro
+  FROM tot_t t JOIN tot_r r USING (doc_id)
+),
+thr AS (SELECT importance_micro AS t FROM scored
+        ORDER BY importance_micro DESC LIMIT 1 OFFSET {k - 1})
+SELECT doc_id, n_bigrams, importance_micro
+FROM scored, thr WHERE importance_micro >= thr.t
+"""
+
+
 LPA_ITERS = 5
 
 

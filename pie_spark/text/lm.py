@@ -147,12 +147,17 @@ def fit_bigram_lm(
 
 
 def score_docs(
-    docs: DataFrame, lm: BigramLM, text_col: str = "text"
+    docs: DataFrame, lm: BigramLM, text_col: str = "text", total: bool = False
 ) -> DataFrame:
     """(doc_id, n_bigrams, lm_cost_micro): mean per-bigram cost in
     micro-bits (lower = more reference-like). Docs with < 2 tokens get
     n_bigrams=0 and the unseen-uniform cost (nothing to measure ⇒
-    neutral-worst prior, never a divide-by-zero)."""
+    neutral-worst prior, never a divide-by-zero).
+
+    ``total=True`` returns the exact SUM of per-bigram costs instead of
+    the floored mean — the form DSIR-style importance ratios need
+    (prep/dsir.py): log-likelihood differences must subtract exactly,
+    and a floored mean re-multiplied by n would lose up to n−1 micros."""
     import math
 
     k = float(lm.add_k)
@@ -180,9 +185,14 @@ def score_docs(
         F.when(F.col("c1").isNotNull(), backoff),
         lm.unseen_cost(),
     )
+    reduced = (
+        F.sum(per_bigram)
+        if total
+        else F.floor(F.sum(per_bigram) / F.count("*"))
+    )
     agg = joined.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.floor(F.sum(per_bigram) / F.count("*")).cast("long").alias("lm_cost_micro"),
+        reduced.cast("long").alias("lm_cost_micro"),
     )
     return (
         docs.select("doc_id")

@@ -108,6 +108,9 @@ def _folded_queries():
         # r06 new operator, born folded: deterministic label-propagation
         # communities — oracle = independent Python replay as VALUES
         ("lpa_communities", q.q_lpa_communities, q._lpa_communities_sql),
+        # r06 new operator, born folded: DSIR importance selection —
+        # two LM replays (total-cost form) + K-th-largest threshold
+        ("dsir_select", q.q_dsir_select, q._dsir_select_sql),
     ]
 
 
