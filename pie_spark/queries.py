@@ -1724,10 +1724,20 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _DSIR_LAST_SF_DIR
     _DSIR_LAST_SF_DIR = sf_dir
     d = _tp(spark, sf_dir, "documents")
-    with fit_bigram_lm(d.filter(F.col("doc_id") % 4 == 0), add_k=0.5) as tgt, \
-            fit_bigram_lm(d, add_k=0.5) as raw:
-        scores = importance_scores(d, tgt, raw)
-        return select_top_fraction(scores, DSIR_FRAC_PPM)
+    tgt = fit_bigram_lm(d.filter(F.col("doc_id") % 4 == 0), add_k=0.5)
+    raw = fit_bigram_lm(d, add_k=0.5)
+    try:
+        # evaluate WHILE the model caches are hot, then hand the driver
+        # a checkpoint scan: unpersisting first re-inlines both model
+        # aggregations per reference in the lazy plan — 162 exchanges
+        # at sf0.001, the Spark-side edition of the DuckDB CTE
+        # re-inlining trap (caught in the r06 plan audit, BENCH/PLANS.md)
+        return select_top_fraction(
+            importance_scores(d, tgt, raw), DSIR_FRAC_PPM
+        ).localCheckpoint(eager=True)
+    finally:
+        tgt.unpersist()
+        raw.unpersist()
 
 
 def _lm_total_ctes(tag: str, ref_where: str, add_k: float = 0.5) -> str:
