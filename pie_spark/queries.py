@@ -1706,6 +1706,57 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+ZORDER_BITS = 16
+_ZORDER_LAST_SF_DIR: str | None = None
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: Morton z-order key over (p_partkey, p_size) — the multi-key
+    layout clustering primitive (r06 operator, born folded — registry
+    at the 50 cap). Both engines evaluate the SAME normalize +
+    bit-interleave expression text (io/zorder.py builders; only the
+    integer-division token differs — Spark `div`, DuckDB `//`,
+    value-identical on these nonnegative operands), so the hash check
+    covers every bit of every key."""
+    from pie_spark.io.zorder import zorder_key
+
+    global _ZORDER_LAST_SF_DIR
+    _ZORDER_LAST_SF_DIR = sf_dir
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    keyed, _ = zorder_key(part, ["p_partkey", "p_size"], bits=ZORDER_BITS)
+    return keyed.select(
+        "p_partkey", "p_size", F.col("__zkey").alias("zkey")
+    )
+
+
+def _zorder_key_sql() -> str:
+    """Lazy oracle: same min/max bounds (exact ints from the same
+    parquet), same expression builders with the DuckDB division token."""
+    import os
+
+    import duckdb
+
+    from pie_spark.io.zorder import norm_expr_sql, zorder_expr_sql
+
+    base = _ZORDER_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    bounds = {}
+    for c in ("p_partkey", "p_size"):
+        bounds[c] = con.execute(
+            f"SELECT CAST(min({c}) AS BIGINT), CAST(max({c}) AS BIGINT) "
+            f"FROM read_parquet('{base}/part.parquet')"
+        ).fetchone()
+    con.close()
+    norms = [
+        norm_expr_sql(c, *bounds[c], ZORDER_BITS, intdiv="//")
+        for c in ("p_partkey", "p_size")
+    ]
+    z = zorder_expr_sql(norms, ZORDER_BITS)
+    return f"SELECT p_partkey, p_size, CAST({z} AS BIGINT) AS zkey FROM part"
+
+
 DSIR_FRAC_PPM = 250_000
 _DSIR_LAST_SF_DIR: str | None = None
 

@@ -111,6 +111,9 @@ def _folded_queries():
         # r06 new operator, born folded: DSIR importance selection —
         # two LM replays (total-cost form) + K-th-largest threshold
         ("dsir_select", q.q_dsir_select, q._dsir_select_sql),
+        # r06 new operator, born folded: z-order layout key — shared
+        # normalize + bit-interleave expression text, bit-exact parity
+        ("zorder_key", q.q_zorder_key, q._zorder_key_sql),
     ]
 
 
