@@ -1706,6 +1706,58 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+ASOF_TOL_US = 1_800 * 1_000_000  # 30 min
+
+
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — every click attributed to the user's latest
+    view at or before it, within 30 minutes (r06 operator, born folded
+    — registry at the 50 cap). Spark side is the one-shuffle
+    union+running-window implementation (events/asof.py); the DuckDB
+    oracle is an INDEPENDENT correlated-lateral implementation, so
+    agreement checks as-of semantics, not a transcription."""
+    from pie_spark.events.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("vts_us"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="vts_us",
+        right_id="view_id",
+        tolerance_us=ASOF_TOL_US,
+        prefix="m_",
+    )
+
+
+SQL_ASOF_CLICK_VIEW = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS view_id, ts_us AS vts_us FROM e WHERE event_type = 'view')
+SELECT c.user_id, c.event_id, c.ts_us, m.vts_us AS m_vts_us, m.view_id AS m_view_id
+FROM c LEFT JOIN LATERAL (
+  SELECT vts_us, view_id FROM v
+  WHERE v.user_id = c.user_id AND v.vts_us <= c.ts_us
+    AND c.ts_us - v.vts_us <= {ASOF_TOL_US}
+  ORDER BY vts_us DESC, view_id DESC LIMIT 1
+) m ON TRUE
+"""
+
+
 ZORDER_BITS = 16
 _ZORDER_LAST_SF_DIR: str | None = None
 

@@ -114,6 +114,9 @@ def _folded_queries():
         # r06 new operator, born folded: z-order layout key — shared
         # normalize + bit-interleave expression text, bit-exact parity
         ("zorder_key", q.q_zorder_key, q._zorder_key_sql),
+        # r06 new operator, born folded: as-of join — the DuckDB mirror
+        # is an independent correlated-lateral implementation
+        ("asof_click_view", q.q_asof_click_view, q.SQL_ASOF_CLICK_VIEW),
     ]
 
 
