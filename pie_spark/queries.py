@@ -1706,6 +1706,68 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+RANGE_PAD_US = 300 * 1_000_000  # sessions padded ±5 min
+RANGE_BUCKET_US = 3_600 * 1_000_000  # 1 h buckets
+
+
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: range join — every error event matched to every user session
+    active within ±5 minutes of it, across users (concurrency blast-
+    radius analysis; r06 operator, born folded — registry at the 50
+    cap). Spark side is the bucketized equi-join reduction
+    (events/rangejoin.py); the DuckDB oracle is the direct BETWEEN
+    join (IEJoin) — independent algorithms agreeing on the row set."""
+    from pie_spark.events.rangejoin import range_join
+    from pie_spark.events.sessions import session_stats, sessionize
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("err_ts_us"),
+    )
+    sess = session_stats(sessionize(e, gap_sec=SESSION_GAP_SEC)).select(
+        F.col("user_id").alias("s_user"),
+        F.col("session_idx").alias("s_idx"),
+        (F.col("start_us") - RANGE_PAD_US).alias("s_lo"),
+        (F.col("end_us") + RANGE_PAD_US).alias("s_hi"),
+    )
+    return range_join(
+        errors, sess, "err_ts_us", "s_lo", "s_hi", bucket_us=RANGE_BUCKET_US
+    )
+
+
+def _range_join_sessions_sql() -> str:
+    return f"""
+WITH s0 AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+),
+flag AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_SEC * 1_000_000}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+n AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_idx
+  FROM flag
+),
+sess AS (
+  SELECT user_id AS s_user, s_idx,
+         min(ts_us) - {RANGE_PAD_US} AS s_lo,
+         max(ts_us) + {RANGE_PAD_US} AS s_hi
+  FROM n GROUP BY 1, 2
+),
+errs AS (
+  SELECT event_id AS err_id, ts_us AS err_ts_us FROM s0
+  WHERE event_type = 'error'
+)
+SELECT err_id, err_ts_us, s_user, s_idx, s_lo, s_hi
+FROM errs JOIN sess ON err_ts_us BETWEEN s_lo AND s_hi
+"""
+
+
 ASOF_TOL_US = 1_800 * 1_000_000  # 30 min
 
 

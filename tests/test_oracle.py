@@ -117,6 +117,9 @@ def _folded_queries():
         # r06 new operator, born folded: as-of join — the DuckDB mirror
         # is an independent correlated-lateral implementation
         ("asof_click_view", q.q_asof_click_view, q.SQL_ASOF_CLICK_VIEW),
+        # r06 new operator, born folded: range join — bucketized
+        # equi-join reduction vs DuckDB's direct BETWEEN (IEJoin)
+        ("range_join_sessions", q.q_range_join_sessions, q._range_join_sessions_sql()),
     ]
 
 
