@@ -1706,6 +1706,56 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+ROLLUP_WIDTHS_US = [
+    60 * 1_000_000,          # 1 min
+    3_600 * 1_000_000,       # 1 h
+    86_400 * 1_000_000,      # 1 d
+]
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: hypertable rollup cascade (r06 operator, born folded —
+    registry at the 50 cap): per-event_type minute → hour → day
+    buckets where each level re-aggregates the PREVIOUS level; the
+    returned union carries all three resolutions. The oracle GROUP BYs
+    raw events directly at every resolution — the road the cascade
+    avoids — so the hash check proves the re-aggregation algebra."""
+    from pie_spark.events.rollup import rollup_cascade
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_centi"),
+    )
+    levels = rollup_cascade(e, ROLLUP_WIDTHS_US, keys=["event_type"])
+    out = None
+    for w, df in levels.items():
+        tagged = df.select(F.lit(w).cast("long").alias("width_us"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _hypertable_rollup_sql() -> str:
+    parts = []
+    for w in ROLLUP_WIDTHS_US:
+        parts.append(f"""
+SELECT CAST({w} AS BIGINT) AS width_us, event_type,
+       (ts_us // {w}) * {w} AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_centi) AS BIGINT) AS value_centi,
+       min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+FROM raw GROUP BY 2, 3""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH raw AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_centi
+  FROM events
+)
+{body}
+"""
+
+
 RANGE_PAD_US = 300 * 1_000_000  # sessions padded ±5 min
 RANGE_BUCKET_US = 3_600 * 1_000_000  # 1 h buckets
 

@@ -120,6 +120,9 @@ def _folded_queries():
         # r06 new operator, born folded: range join — bucketized
         # equi-join reduction vs DuckDB's direct BETWEEN (IEJoin)
         ("range_join_sessions", q.q_range_join_sessions, q._range_join_sessions_sql()),
+        # r06 new operator, born folded: hypertable rollup cascade —
+        # oracle aggregates RAW at every level, proving the algebra
+        ("hypertable_rollup", q.q_hypertable_rollup, q._hypertable_rollup_sql()),
     ]
 
 
