@@ -1706,6 +1706,74 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: Bloom-filter decontamination — X7's semantics with the
+    benchmark shingle set compressed into a bit-word table (the scale
+    path past broadcast-set size; r06 operator, born folded — registry
+    at the 50 cap). The oracle replays the FILTER, not the exact set
+    (same h64 positions, same bit_or words, same all-k probe), so the
+    hash check covers construction and probe bit-for-bit — false
+    positives and all."""
+    from pie_spark.dedup.shingles import doc_shingles
+    from pie_spark.prep.bloom import build_bloom, probe_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = (
+        doc_shingles(d.filter(F.col("doc_id") % 20 == 0), "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = build_bloom(bench, "shingle", BLOOM_M_BITS, BLOOM_K)
+    corp = doc_shingles(d.filter(F.col("doc_id") % 20 != 0), "text", 3)
+    flagged = probe_bloom(corp, "shingle", bloom, BLOOM_M_BITS, BLOOM_K)
+    return (
+        flagged.filter(F.col("maybe_member"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_maybe_hits"))
+    )
+
+
+def _bloom_h64_sql(i: int, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bloom:{i}:' || {expr}), 1, 15)) "
+        f"AS UBIGINT)::BIGINT % {BLOOM_M_BITS}"
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH bench_base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 20 = 0),
+corp_base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle
+          FROM (SELECT {_DUCK_SHINGLES} AS sh FROM bench_base) _ ),
+bpos AS ({' UNION ALL '.join(f"SELECT {_bloom_h64_sql(i, 'shingle')} AS p FROM bench" for i in range(4))}),
+words AS MATERIALIZED (
+  SELECT p // 63 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+corp AS (SELECT doc_id, unnest(sh) AS shingle
+         FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM corp_base) _ ),
+cvals AS (SELECT DISTINCT shingle FROM corp),
+cpos AS ({' UNION ALL '.join(f"SELECT shingle, {_bloom_h64_sql(i, 'shingle')} AS p FROM cvals" for i in range(4))}),
+member AS (
+  SELECT shingle,
+         sum(CASE WHEN w.bits IS NOT NULL
+                       AND (w.bits & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)))
+                           = (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                  THEN 1 ELSE 0 END) = {BLOOM_K} AS maybe_member
+  FROM cpos LEFT JOIN words w ON p // 63 = w.word_idx
+  GROUP BY shingle
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe_hits
+FROM corp JOIN member USING (shingle)
+WHERE maybe_member
+GROUP BY doc_id
+"""
+
+
 ROLLUP_WIDTHS_US = [
     60 * 1_000_000,          # 1 min
     3_600 * 1_000_000,       # 1 h

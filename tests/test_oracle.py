@@ -123,6 +123,9 @@ def _folded_queries():
         # r06 new operator, born folded: hypertable rollup cascade —
         # oracle aggregates RAW at every level, proving the algebra
         ("hypertable_rollup", q.q_hypertable_rollup, q._hypertable_rollup_sql()),
+        # r06 new operator, born folded: bloom decontamination — the
+        # oracle replays the FILTER (positions, words, all-k probe)
+        ("bloom_decontaminate", q.q_bloom_decontaminate, q.SQL_BLOOM_DECONTAMINATE),
     ]
 
 
