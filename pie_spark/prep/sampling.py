@@ -109,3 +109,58 @@ def temperature_rates(
         .cast("long")
         .alias("rate_ppm"),
     )
+
+
+def priority_score_sql(key_expr: str, weight_expr: str, salt: str) -> str:
+    """The Efraimidis–Spirakis priority both engines evaluate verbatim
+    (X22): u = (h64(salt||key) % 2^20 + 1) / (2^20 + 1) ∈ (0, 1]
+    derived from exact ints, score = ln(u) / w — a monotone transform
+    of the textbook u^(1/w), float work once per ROW from exact-int
+    inputs (the lm.py discipline: no float ever crosses an
+    aggregation). Larger score = more likely sampled; w doubles ⇒
+    score strictly improves at fixed u. The h64 literal matches the
+    repo recipe, bit-identical in DuckDB."""
+    m = 1 << 20
+    h = (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15)) "
+        f"AS UBIGINT)::BIGINT"
+    )
+    return f"(ln(CAST(({h} % {m}) + 1 AS DOUBLE) / {m + 1}.0) / ({weight_expr}))"
+
+
+def _priority_score_spark(key: Column, weight: Column, salt: str) -> Column:
+    m = 1 << 20
+    u = (F.pmod(h64(F.concat(F.lit(salt), key.cast("string"))), F.lit(m)) + 1).cast(
+        "double"
+    ) / F.lit(float(m + 1))
+    return F.log(u) / weight
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (X22, Efraimidis–Spirakis
+    A-ES): the k rows with the largest ``ln(u)/w`` priorities are a
+    weight-proportional sample — deterministic (u is the salted hash of
+    the key, so the same corpus gives the same sample on any
+    partitioning or cluster size; change ``salt`` for a fresh draw),
+    one TakeOrderedAndProject, no global sort, nothing corpus-sized on
+    the driver beyond the k result rows. Non-positive weights are
+    excluded (zero weight = never sampled — by definition, and
+    ln(u)/w would flip sign). Ties (identical priority requires
+    identical hash AND weight) break by key for a total order."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "__priority",
+        _priority_score_spark(F.col(key_col), F.col(weight_col), salt),
+    )
+    return (
+        scored.orderBy(F.desc("__priority"), F.asc(key_col))
+        .limit(k)
+        .drop("__priority")
+    )

@@ -1706,6 +1706,35 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: weighted sampling without replacement (Efraimidis–Spirakis
+    priority top-k; r06 operator, born folded — registry at the 50
+    cap): the 50 documents sampled proportionally to text length —
+    priorities from the salted-h64 uniform (the repo hash recipe,
+    bit-identical in DuckDB), float work once per row from exact ints,
+    TakeOrderedAndProject."""
+    from pie_spark.prep.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("weight")
+    )
+    return weighted_sample_topk(d, WSAMPLE_K, "weight")
+
+
+def _weighted_sample_sql() -> str:
+    from pie_spark.prep.sampling import priority_score_sql
+
+    score = priority_score_sql("doc_id", "weight", "wsample:")
+    return f"""
+WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight FROM documents),
+s AS (SELECT doc_id, weight, {score} AS pr FROM w WHERE weight > 0)
+SELECT doc_id, weight FROM s ORDER BY pr DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
 BLOOM_M_BITS = 1 << 16
 BLOOM_K = 4
 

@@ -126,6 +126,9 @@ def _folded_queries():
         # r06 new operator, born folded: bloom decontamination — the
         # oracle replays the FILTER (positions, words, all-k probe)
         ("bloom_decontaminate", q.q_bloom_decontaminate, q.SQL_BLOOM_DECONTAMINATE),
+        # r06 new operator, born folded: weighted priority sampling —
+        # shared ln(u)/w recipe, paired h64 implementations
+        ("weighted_sample", q.q_weighted_sample, q._weighted_sample_sql()),
     ]
 
 

@@ -79,3 +79,53 @@ def test_invalid_params(spark, skewed):
         temperature_rates(skewed, temperature=0.0)
     with pytest.raises(ValueError):
         temperature_rates(skewed, cap=0.0)
+
+
+# ---- X22: weighted priority sampling ----
+
+def test_weighted_topk_matches_python_replay(spark):
+    import hashlib, math
+
+    from pie_spark.prep.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long").repartition(7)
+    got = [r.doc_id for r in weighted_sample_topk(df, 20, "weight").collect()]
+
+    m = 1 << 20
+    def pr(doc_id, w):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        return math.log((h % m + 1) / (m + 1)) / w
+    want = sorted(rows, key=lambda r: (-pr(*r), r[0]))[:20]
+    assert sorted(got) == sorted(d for d, _ in want)
+
+
+def test_weighted_topk_weight_monotone_and_deterministic(spark):
+    from pie_spark.prep.sampling import weighted_sample_topk
+
+    rows = [(i, 1) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, weight long")
+    base = {r.doc_id for r in weighted_sample_topk(df1, 10, "weight").collect()}
+    # same input, different partitioning → identical sample
+    df2 = spark.createDataFrame(rows, "doc_id long, weight long").repartition(9)
+    assert {r.doc_id for r in weighted_sample_topk(df2, 10, "weight").collect()} == base
+    # boost one excluded doc's weight hugely → it enters the sample
+    out = sorted(base)[0]
+    excluded = next(i for i in range(200) if i not in base)
+    boosted = [(i, 10_000_000 if i == excluded else 1) for i in range(200)]
+    df3 = spark.createDataFrame(boosted, "doc_id long, weight long")
+    assert excluded in {
+        r.doc_id for r in weighted_sample_topk(df3, 10, "weight").collect()
+    }
+
+
+def test_weighted_topk_excludes_nonpositive(spark):
+    from pie_spark.prep.sampling import weighted_sample_topk
+
+    rows = [(1, 5), (2, 0), (3, -4)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = [r.doc_id for r in weighted_sample_topk(df, 10, "weight").collect()]
+    assert got == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample_topk(df, 0, "weight")
