@@ -311,6 +311,86 @@ class SnapshotTable:
         the pair set): a retried epoch checks this FIRST and skips."""
         return f"{dataset}:{key}" in self._read_manifest().get("applied_keys", [])
 
+    def dataset_dirs(
+        self, dataset: str, snapshot_id: int | None = None
+    ) -> list[str]:
+        """The data dirs a dataset resolves to at a snapshot — the
+        baseline token for replace_dataset's conflict check."""
+        s = self._resolve(snapshot_id)
+        return _dirs(s["datasets"].get(dataset, []))
+
+    def replace_dataset(
+        self,
+        dataset: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        expected_dirs: list[str] | None = None,
+    ) -> int:
+        """Publish a snapshot where ONE dataset's contents are replaced
+        by ``df`` and every sibling dataset carries forward unchanged —
+        the copy-on-write half of MERGE (io/merge.py). ``commit`` is a
+        whole-table checkpoint (its snapshot lists only the committed
+        datasets); a keyed upsert of one dimension table must not drop
+        the table's other datasets, so this writes ``df`` once to a
+        uuid-unique dir and CAS-publishes ``{**current, dataset: new}``
+        (the add_files carry-forward pattern). Losing the race rebases
+        onto the winner — but note the REBASE CAVEAT: the df was
+        derived from the snapshot the caller read; if a racing writer
+        changed the SAME dataset, rebasing would silently drop their
+        change, so a same-dataset conflict raises instead (Iceberg's
+        serializable-isolation validation). Pass ``expected_dirs`` —
+        ``dataset_dirs()`` captured WHEN THE INPUT WAS READ — so the
+        check covers the whole read-merge-write span, not just the
+        write-publish gap (a racer landing between scan and write must
+        conflict too, or its rows silently vanish)."""
+        token = uuid.uuid4().hex[:8]
+        path = os.path.join(self.root, dataset, f"snap-{token}")
+        df.write.mode("overwrite").parquet(path)
+        if expected_dirs is not None:
+            base_dirs = list(expected_dirs)
+        else:
+            base = self._read_manifest()
+            base_cur = (
+                next(s for s in base["snapshots"] if s["id"] == base["current"])
+                if base["current"]
+                else {"datasets": {}}
+            )
+            base_dirs = _dirs(base_cur["datasets"].get(dataset, []))
+        for _ in range(self.max_retries + 1):
+            v = self._latest_version()
+            m = self._read_manifest()
+            cur = (
+                next(s for s in m["snapshots"] if s["id"] == m["current"])
+                if m["current"]
+                else {"datasets": {}, "partitions": {}}
+            )
+            if _dirs(cur["datasets"].get(dataset, [])) != base_dirs:
+                raise CommitConflictError(
+                    f"concurrent writer changed dataset {dataset!r} under "
+                    "this merge — re-read and re-merge (serializable "
+                    "isolation: rebasing would drop their rows)"
+                )
+            sid = (m["current"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "datasets": {**cur["datasets"], dataset: path},
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "parent": m["current"],
+                    "meta": {"operation": "replace_dataset", **(meta or {})},
+                    "partitions": dict(cur.get("partitions", {})),
+                }
+            )
+            m["current"] = sid
+            if self._try_publish(m, v + 1):
+                return sid
+        raise CommitConflictError(
+            f"replace_dataset on {self.root} lost the metadata race "
+            f"{self.max_retries + 1} times"
+        )
+
     def add_files_many(
         self,
         paths: dict[str, str],

@@ -1,0 +1,74 @@
+"""MERGE/upsert (io/merge.py + SnapshotTable.replace_dataset):
+update/insert/delete semantics, sibling-dataset carry-forward, time
+travel to the pre-merge snapshot, duplicate-key rejection, and the
+serializable-isolation conflict on a racing same-dataset writer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pie_spark.io.merge import merge_upsert
+from pie_spark.io.snapshots import CommitConflictError, SnapshotTable
+
+
+def _table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "k long, v string"
+    )
+    side = spark.createDataFrame([(9, "lineage")], "id long, note string")
+    t.commit({"dim": dim, "side": side})
+    return t
+
+
+def _rows(spark, t, ds, sid=None):
+    return sorted(tuple(r) for r in t.scan(spark, ds, sid).collect())
+
+
+def test_update_insert_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    pre = t.current_snapshot()
+    ups = spark.createDataFrame(
+        [(2, "BETA", False), (4, "delta", False), (3, None, True)],
+        "k long, v string, drop boolean",
+    )
+    sid = merge_upsert(spark, t, "dim", ups, "k", delete_col="drop")
+    assert _rows(spark, t, "dim") == [(1, "alpha"), (2, "BETA"), (4, "delta")]
+    # sibling dataset carried forward into the new snapshot
+    assert _rows(spark, t, "side") == [(9, "lineage")]
+    # time travel: the pre-merge snapshot still reads the old rows
+    assert _rows(spark, t, "dim", pre) == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    assert t.meta(sid)["merge"] == {"dataset": "dim", "key": "k"}
+
+
+def test_duplicate_update_keys_rejected(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    ups = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, t, "dim", ups, "k")
+
+
+def test_concurrent_same_dataset_writer_conflicts(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    base_dirs = t.dataset_dirs("dim")
+    # a racer replaces dim between our scan and our publish
+    racer = spark.createDataFrame([(7, "racer")], "k long, v string")
+    t.replace_dataset("dim", racer)
+    ups = spark.createDataFrame([(1, "mine")], "k long, v string")
+    stale = spark.createDataFrame(
+        [(1, "mine"), (2, "beta"), (3, "gamma")], "k long, v string"
+    )
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        t.replace_dataset("dim", stale, expected_dirs=base_dirs)
+    # the racer's snapshot is untouched
+    assert _rows(spark, t, "dim") == [(7, "racer")]
+
+
+def test_merge_without_delete_col(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    ups = spark.createDataFrame([(1, "A1"), (5, "eps")], "k long, v string")
+    merge_upsert(spark, t, "dim", ups, "k")
+    assert _rows(spark, t, "dim") == [
+        (1, "A1"), (2, "beta"), (3, "gamma"), (5, "eps"),
+    ]
