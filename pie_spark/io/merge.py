@@ -82,3 +82,42 @@ def merge_upsert(
     return table.replace_dataset(
         dataset, merged, meta=m, expected_dirs=base_dirs
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: SnapshotTable,
+    dataset: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    key_col: str = "k",
+) -> DataFrame:
+    """CDC changelog between two snapshots of a keyed dataset (the
+    Iceberg changelog-scan / Delta CDF analog): one row per changed
+    key with ``change ∈ {insert, delete, update}`` plus the before/
+    after payload structs. Downstream incremental consumers (the
+    incremental-CC/LSH family) replay the changelog instead of
+    re-reading the table.
+
+    Shape: ONE full-outer join on the key between the two pinned
+    scans; unchanged keys are filtered by struct equality (null-safe
+    ``<=>`` so null payload fields compare stably) — the diff costs
+    two scans + one shuffle regardless of how many snapshots lie
+    between, because snapshots are complete states, not deltas.
+    Determinism: requires the key to be unique within each snapshot
+    (the merge contract); output is a plain row set."""
+    a = table.scan(spark, dataset, from_snapshot)
+    b = table.scan(spark, dataset, to_snapshot)
+    cols = [c for c in a.columns if c != key_col]
+    av = a.select(key_col, F.struct(*cols).alias("before"))
+    bv = b.select(key_col, F.struct(*cols).alias("after"))
+    j = av.join(bv, key_col, "full_outer")
+    change = (
+        F.when(F.col("before").isNull(), F.lit("insert"))
+        .when(F.col("after").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.filter(~F.expr("before <=> after"))
+        .select(key_col, change.alias("change"), "before", "after")
+    )

@@ -72,3 +72,25 @@ def test_merge_without_delete_col(spark, tmp_path):
     assert _rows(spark, t, "dim") == [
         (1, "A1"), (2, "beta"), (3, "gamma"), (5, "eps"),
     ]
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    from pie_spark.io.merge import snapshot_diff
+
+    t = _table(spark, tmp_path)
+    pre = t.current_snapshot()
+    ups = spark.createDataFrame(
+        [(2, "BETA", False), (4, "delta", False), (3, None, True)],
+        "k long, v string, drop boolean",
+    )
+    post = merge_upsert(spark, t, "dim", ups, "k", delete_col="drop")
+    got = {
+        r.k: (r.change, r.before, r.after)
+        for r in snapshot_diff(spark, t, "dim", pre, post, key_col="k").collect()
+    }
+    assert set(got) == {2, 3, 4}
+    assert got[2][0] == "update" and got[2][2]["v"] == "BETA"
+    assert got[3][0] == "delete" and got[3][2] is None
+    assert got[4][0] == "insert" and got[4][1] is None
+    # no-change diff is empty
+    assert snapshot_diff(spark, t, "dim", post, post, key_col="k").count() == 0
