@@ -67,3 +67,69 @@ def test_partitioning_independent(spark):
             base = got
         else:
             assert got == base
+
+
+# ---- streaming twin (streaming/rollup.py) ----
+
+def test_stream_rollup_equals_batch_at_every_level(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pie_spark.events.rollup import _coarsen
+    from pie_spark.streaming.rollup import combined_rollup, stream_rollup
+
+    # land the fixture events as 3 chronological chunks so buckets span
+    # micro-batches (same drill as the sessionization twin)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    lz = str(tmp_path / "lz")
+    bounds = [(None, qs[0]), (qs[0], qs[1]), (qs[1], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        c = ev
+        if lo is not None:
+            c = c.filter(F.col("event_id") > lo)
+        if hi is not None:
+            c = c.filter(F.col("event_id") <= hi)
+        c.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lz, f"chunk-{i:03d}")
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # day-width finest level: boundary days are dense enough that a
+    # bucket provably spans micro-batches (hour buckets on this sparse
+    # fixture often don't straddle a chunk edge per event_type)
+    stream_rollup(
+        spark, lz + "/chunk-*", out, ckpt,
+        width_us=86_400_000_000, keys=["event_type"], max_files_per_trigger=1,
+    )
+    combined = combined_rollup(spark, out, keys=["event_type"])
+
+    raw = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_centi"),
+    )
+    from pie_spark.events.rollup import bucket_events
+
+    batch = bucket_events(raw, 86_400_000_000, keys=["event_type"])
+    assert _rows(combined) == _rows(batch)
+    # a bucket must span micro-batches for the test to mean anything
+    per_epoch = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        out + "/epoch-*"
+    ).withColumn("__e", F.input_file_name())
+    n_partials = per_epoch.groupBy("event_type", "bucket_us").count()
+    assert n_partials.filter(F.col("count") > 1).count() > 0
+
+    # coarser level from the combined stream partials ≡ batch cascade
+    wk = 7 * 86_400_000_000
+    assert _rows(_coarsen(combined, wk, ["event_type"])) == _rows(
+        _coarsen(batch, wk, ["event_type"])
+    )
+
+    # idempotent re-drain
+    stream_rollup(
+        spark, lz + "/chunk-*", out, ckpt,
+        width_us=86_400_000_000, keys=["event_type"], max_files_per_trigger=1,
+    )
+    assert _rows(combined_rollup(spark, out, keys=["event_type"])) == _rows(batch)
