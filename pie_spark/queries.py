@@ -1706,6 +1706,31 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: percentile-rank normalization of document lengths (r06
+    operator, born folded — registry at the 50 cap): every doc gains
+    its length's global empirical-CDF position in integer ppm — the
+    cross-corpus score normalizer. Pure integer arithmetic on the X17
+    V-row machinery."""
+    from pie_spark.text.analysis import percentile_rank
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("doc_len")
+    )
+    return percentile_rank(d, "doc_len")
+
+
+SQL_PERCENTILE_RANK = """
+WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len FROM documents),
+counts AS (SELECT doc_len AS v, count(*) AS c FROM w GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM counts),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+ranks AS (SELECT v, CAST((cum * 1000000) // n AS BIGINT) AS pct_ppm FROM cum, n)
+SELECT doc_id, doc_len, pct_ppm FROM w JOIN ranks ON w.doc_len = ranks.v
+"""
+
+
 WSAMPLE_K = 50
 
 

@@ -305,3 +305,37 @@ def exact_quantiles(
         .groupBy("p_ppm")
         .agg(F.min("v").alias("value"))
     )
+
+
+def percentile_rank(
+    df: DataFrame, value_col: str, out_col: str = "pct_ppm"
+) -> DataFrame:
+    """X23: percentile-rank normalization — every row gains its value's
+    global empirical-CDF position in integer ppm: ``pct_ppm =
+    (cum(v) · 10^6) div N`` where cum(v) = #{x ≤ v}. The mixing-step
+    normalizer: per-corpus quality scores live on incomparable scales
+    (LM micro-bits vs Gopher ppm vs BM25 micros); their percentile
+    ranks are directly comparable and threshold rules transfer across
+    corpora ("keep the top 30 %" means the same thing everywhere).
+
+    Same machinery and scale story as exact_quantiles (X17): one
+    groupBy(value) partial agg (the shuffle carries V distinct values,
+    never N rows), a cumulative window over the V-row table, then the
+    V-row (value → pct) map is broadcast-joined back — the corpus is
+    scanned once and never shuffles on its own size. Pure integer
+    arithmetic end to end (exact at N = 10^12; ties share one rank, by
+    definition of the CDF)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(value_col).cast("long").alias("__v")).agg(
+        F.count("*").alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("__v", F.sum("__c").over(w).alias("__cum"))
+    total = counts.agg(F.sum("__c").alias("__n"))
+    ranks = cum.crossJoin(F.broadcast(total)).select(
+        "__v", F.expr("(__cum * 1000000) div __n").cast("long").alias(out_col)
+    )
+    return df.join(
+        F.broadcast(ranks), F.col(value_col).cast("long") == F.col("__v")
+    ).drop("__v")

@@ -129,6 +129,9 @@ def _folded_queries():
         # r06 new operator, born folded: weighted priority sampling —
         # shared ln(u)/w recipe, paired h64 implementations
         ("weighted_sample", q.q_weighted_sample, q._weighted_sample_sql()),
+        # r06 new operator, born folded: percentile-rank normalization —
+        # X17 V-row machinery, pure integer CDF ppm
+        ("percentile_rank", q.q_percentile_rank, q.SQL_PERCENTILE_RANK),
     ]
 
 

@@ -129,3 +129,32 @@ def test_weighted_topk_excludes_nonpositive(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         weighted_sample_topk(df, 0, "weight")
+
+
+# ---- X23: percentile-rank normalization ----
+
+def test_percentile_rank_basic(spark):
+    from pie_spark.text.analysis import percentile_rank
+
+    rows = [(1, 10), (2, 20), (3, 20), (4, 30), (5, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, score long").repartition(3)
+    got = {r.doc_id: r.pct_ppm for r in percentile_rank(df, "score").collect()}
+    # cum: 10→1, 20→3, 30→4, 40→5 of N=5
+    assert got == {1: 200_000, 2: 600_000, 3: 600_000, 4: 800_000, 5: 1_000_000}
+    # ties share a rank; max value always ranks 10^6; monotone in score
+    assert got[2] == got[3]
+
+
+def test_percentile_rank_threshold_transfers(spark):
+    from pie_spark.text.analysis import percentile_rank
+
+    # two "corpora" with incomparable scales: percentile threshold keeps
+    # the same FRACTION of each
+    a = spark.createDataFrame([(i, i) for i in range(100)], "doc_id long, s long")
+    b = spark.createDataFrame(
+        [(i, 1_000_000 + 17 * i) for i in range(100)], "doc_id long, s long"
+    )
+    from pyspark.sql import functions as F
+    ka = percentile_rank(a, "s").filter(F.col("pct_ppm") > 700_000).count()
+    kb = percentile_rank(b, "s").filter(F.col("pct_ppm") > 700_000).count()
+    assert ka == kb == 30
