@@ -1706,6 +1706,38 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping-sets surface (r06, born folded — registry at the
+    50 cap): per-(event_type, day) counts WITH subtotal rows per
+    event_type and a grand total, in ONE aggregation pass —
+    `DataFrame.rollup` plans a single Expand + hash agg (each input
+    row fans out once per grouping set, all sets partial-aggregate
+    map-side) instead of three scans + union. NULL marks the rolled-up
+    level on both engines (`GROUP BY ROLLUP` in the DuckDB oracle);
+    day = epoch-aligned integer division (the A9 bucket)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000) * 86400000000"
+        ).alias("day_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_centi"),
+    )
+    return e.rollup("event_type", "day_us").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value_centi").cast("long").alias("value_centi"),
+    )
+
+
+SQL_GROUPING_ROLLUP = """
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_centi
+FROM events
+GROUP BY ROLLUP (event_type, day_us)
+"""
+
+
 def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X23: percentile-rank normalization of document lengths (r06
     operator, born folded — registry at the 50 cap): every doc gains

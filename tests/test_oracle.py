@@ -132,6 +132,9 @@ def _folded_queries():
         # r06 new operator, born folded: percentile-rank normalization —
         # X17 V-row machinery, pure integer CDF ppm
         ("percentile_rank", q.q_percentile_rank, q.SQL_PERCENTILE_RANK),
+        # r06, born folded: OLAP grouping sets — one Expand pass vs
+        # DuckDB GROUP BY ROLLUP
+        ("grouping_rollup", q.q_grouping_rollup, q.SQL_GROUPING_ROLLUP),
     ]
 
 
