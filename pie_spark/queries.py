@@ -1706,6 +1706,65 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: fuzzy gazetteer linking (r06, born folded — registry at the
+    50 cap): every dictionary norm_key is corrupted with a
+    deterministic leading-character substitution and linked BACK via
+    FastSS deletion-neighborhood blocking + native levenshtein verify.
+    The oracle replays variants/join/verify/election in DuckDB
+    (levenshtein checked bit-identical), so the hash covers the
+    blocking's recall and the election's total order."""
+    from pie_spark.fixtures.gen import entity_dict_df
+    from pie_spark.link.fuzzy import fuzzy_link
+
+    d = entity_dict_df(spark).select("norm_key", "entity_id")
+    surfaces = d.select(
+        F.concat(F.lit("@"), F.expr("substring(norm_key, 2)")).alias(
+            "surface_key"
+        )
+    )
+    return fuzzy_link(surfaces, d)
+
+
+def _fuzzy_link_sql() -> str:
+    """Lazy oracle: the dictionary is closed-form (fixtures), inlined
+    as VALUES; variants/verify/election replayed in DuckDB SQL."""
+    from pie_spark.fixtures.gazetteer import dictionary_entries
+
+    rows = sorted({(e.norm_key, e.entity_id) for e in dictionary_entries()})
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(f"('{_q(k)}', '{_q(e)}')" for k, e in rows)
+    var = (
+        "list_distinct(list_append(list_transform(range(length({c})), "
+        "i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))"
+    )
+    return f"""
+WITH dict(norm_key, entity_id) AS (VALUES {values}),
+surf AS (SELECT DISTINCT '@' || substr(norm_key, 2) AS s FROM dict),
+s_var AS (SELECT DISTINCT s, unnest({var.format(c='s')}) AS v FROM surf),
+d_var AS (SELECT DISTINCT norm_key AS k, entity_id AS e,
+                 unnest({var.format(c='norm_key')}) AS v FROM dict),
+pairs AS (
+  SELECT DISTINCT s, k, e FROM s_var JOIN d_var USING (v)
+),
+verified AS (
+  SELECT s, k, e, levenshtein(s, k) AS dist FROM pairs
+  WHERE levenshtein(s, k) <= 1
+),
+ranked AS (
+  SELECT s, k, e, dist,
+         row_number() OVER (PARTITION BY s ORDER BY dist, k, e) AS rn
+  FROM verified
+)
+SELECT s AS surface_key, k AS norm_key, e AS entity_id,
+       CAST(dist AS INTEGER) AS dist
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP grouping-sets surface (r06, born folded — registry at the
     50 cap): per-(event_type, day) counts WITH subtotal rows per

@@ -135,6 +135,9 @@ def _folded_queries():
         # r06, born folded: OLAP grouping sets — one Expand pass vs
         # DuckDB GROUP BY ROLLUP
         ("grouping_rollup", q.q_grouping_rollup, q.SQL_GROUPING_ROLLUP),
+        # r06, born folded: fuzzy linking — FastSS blocking + native
+        # levenshtein verify, full DuckDB replay
+        ("fuzzy_link", q.q_fuzzy_link, q._fuzzy_link_sql),
     ]
 
 
