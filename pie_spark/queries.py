@@ -1706,6 +1706,101 @@ def _pagerank_entities_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: data-quality constraint report over the relational fixtures
+    (r06, born folded — registry at the 50 cap): uniqueness, not-null,
+    accepted-values, and referential integrity as exact violation
+    counts. Three rules pass at zero, three report REAL fixture
+    properties (the generator's lineitem has no unique line key —
+    25,953 rows share a (orderkey, linenumber); the validator is doing
+    its job), and one planted-duplicate probe exercises the failing
+    path deliberately. The oracle recomputes every count in direct
+    SQL."""
+    from pie_spark.io.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_ref_integrity,
+        check_unique,
+        validate,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    dup_events = ev.unionByName(ev.orderBy("event_id").limit(5))  # planted duplicates
+    rules = [
+        ("customer.c_custkey unique", check_unique(cust, ["c_custkey"])),
+        ("orders.o_orderkey unique", check_unique(orders, ["o_orderkey"])),
+        (
+            # REAL finding: the synthetic generator draws line numbers
+            # randomly, so this key is NOT unique — kept as an honest
+            # nonzero report (both engines agree on the exact count)
+            "lineitem (o,line) unique [real finding]",
+            check_unique(li, ["l_orderkey", "l_linenumber"]),
+        ),
+        (
+            "lineitem keys not null",
+            check_not_null(li, ["l_orderkey", "l_linenumber", "l_partkey"]),
+        ),
+        ("orders.o_custkey not null", check_not_null(orders, ["o_custkey"])),
+        (
+            "orders→customer ref integrity",
+            check_ref_integrity(orders, "o_custkey", cust, "c_custkey"),
+        ),
+        (
+            "lineitem→orders ref integrity",
+            check_ref_integrity(li, "l_orderkey", orders, "o_orderkey"),
+        ),
+        (
+            "events.event_type accepted",
+            check_accepted_values(
+                ev, "event_type",
+                ["click", "view", "purchase", "error", "signup"],
+            ),
+        ),
+        (
+            "events+5dups unique (planted fail)",
+            check_unique(dup_events, ["event_id"]),
+        ),
+    ]
+    return validate(spark, rules)
+
+
+def _quality_checks_sql() -> str:
+    return """
+WITH evdup AS (
+  SELECT event_id FROM events
+  UNION ALL
+  SELECT event_id FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 5) _
+),
+r AS (
+  SELECT 'customer.c_custkey unique' AS rule,
+         (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey HAVING count(*) > 1) _) AS violations
+  UNION ALL SELECT 'orders.o_orderkey unique',
+         (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1) _)
+  UNION ALL SELECT 'lineitem (o,line) unique [real finding]',
+         (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) _)
+  UNION ALL SELECT 'lineitem keys not null',
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL)
+  UNION ALL SELECT 'orders.o_custkey not null',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL SELECT 'orders→customer ref integrity',
+         (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL SELECT 'lineitem→orders ref integrity',
+         (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL SELECT 'events.event_type accepted',
+         (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+            AND event_type NOT IN ('click', 'view', 'purchase', 'error', 'signup'))
+  UNION ALL SELECT 'events+5dups unique (planted fail)',
+         (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM evdup GROUP BY event_id HAVING count(*) > 1) _)
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations, violations = 0 AS passed FROM r
+"""
+
+
 def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: fuzzy gazetteer linking (r06, born folded — registry at the
     50 cap): every dictionary norm_key is corrupted with a

@@ -138,6 +138,9 @@ def _folded_queries():
         # r06, born folded: fuzzy linking — FastSS blocking + native
         # levenshtein verify, full DuckDB replay
         ("fuzzy_link", q.q_fuzzy_link, q._fuzzy_link_sql),
+        # r06, born folded: data-quality constraint report — every
+        # violation count recomputed in direct SQL
+        ("quality_checks", q.q_quality_checks, q._quality_checks_sql()),
     ]
 
 

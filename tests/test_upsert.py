@@ -94,3 +94,31 @@ def test_snapshot_diff_changelog(spark, tmp_path):
     assert got[4][0] == "insert" and got[4][1] is None
     # no-change diff is empty
     assert snapshot_diff(spark, t, "dim", post, post, key_col="k").count() == 0
+
+
+# ---- S9: data-quality validators (io/quality.py) ----
+
+def test_quality_checks(spark):
+    from pie_spark.io.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_ref_integrity,
+        check_unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (2, "c", 30), (4, None, 40)],
+        "k long, v string, x long",
+    )
+    assert check_unique(df, ["k"]) == 2  # both k=2 rows participate
+    assert check_unique(df, ["k", "v"]) == 0
+    assert check_not_null(df, ["v", "x"]) == 2
+    assert check_accepted_values(df, "v", ["a", "b", "c"]) == 0
+    assert check_accepted_values(df, "v", ["a"]) == 2  # b, c (null skipped)
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    assert check_ref_integrity(df, "k", parent, "k") == 1  # k=4 orphan
+    rep = {r.rule: (r.violations, r.passed) for r in validate(
+        spark, [("u", 0), ("r", 3)]
+    ).collect()}
+    assert rep == {"u": (0, True), "r": (3, False)}
