@@ -1,0 +1,73 @@
+"""Re-identification risk profiling: k-anonymity / l-diversity audit
+(V2; privacy analytics over extracted PII).
+
+A privacy-KG engine doesn't just EXTRACT PII — downstream consumers
+must decide whether a derived table is safe to release. The standard
+instruments are k-anonymity (every individual is hidden in an
+equivalence class of ≥ k records sharing its quasi-identifier tuple)
+and l-diversity (each class contains ≥ l distinct sensitive values,
+so class membership doesn't leak the secret even when k holds). This
+module computes the full class-size × diversity histogram in two
+partial-aggregable passes — the audit a release gate runs over the
+triples/mentions tables before anything leaves the cluster.
+
+Scale shape (10^12-row design point):
+  * pass 1 groups by (QI…, sensitive) then by (QI…) — the two-level
+    exact-distinct rewrite (vocab.py precedent) instead of
+    count(distinct), which would double the row stream through an
+    Expand. Both stages are algebraic → map-side combine collapses
+    hot classes before the shuffle; AQE handles residual skew (a
+    giant "unknown nation" class is one hot key).
+  * pass 2 aggregates the CLASS table (≤ #distinct QI tuples — orders
+    of magnitude smaller than the input) into the (class_size,
+    min_l_diversity) histogram. Nothing is ever collected; the report
+    is a bounded histogram DataFrame.
+
+Determinism: exact integer counts end to end; no floats, no RNG.
+
+Oracle strategy: pure relational algebra — DuckDB replays it verbatim
+(folded ``kanon_risk`` row in tests/test_oracle.py); property tests in
+tests/test_kanon.py pin hand-computed micro-fixtures and the
+histogram-mass invariant Σ(class_size · n_classes) = N.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anonymity_classes(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str
+) -> DataFrame:
+    """One row per quasi-identifier equivalence class:
+    (*qi_cols, class_size, l_distinct)."""
+    qi = list(qi_cols)
+    per_value = df.groupBy(*qi, sensitive_col).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return per_value.groupBy(*qi).agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("l_distinct"),
+    )
+
+
+def kanon_report(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str
+) -> DataFrame:
+    """(class_size, n_classes, n_individuals, min_l, n_l1_classes):
+    the release-gate histogram — how many individuals sit in classes
+    of each size, the worst l-diversity at that size, and how many of
+    those classes are fully sensitive-homogeneous (l = 1, attribute
+    disclosure even when k is large)."""
+    classes = anonymity_classes(df, qi_cols, sensitive_col)
+    return classes.groupBy("class_size").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_individuals"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum((F.col("l_distinct") == 1).cast("long"))
+        .cast("long")
+        .alias("n_l1_classes"),
+    )

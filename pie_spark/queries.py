@@ -3689,6 +3689,197 @@ WHERE q.quality_ppm >= 600000 AND l.lang_guess = 'en' AND s.split = 'train'
 """
 
 
+COLLOC_MIN_PAIR_DOCS = 100
+COMENTION_MIN_PAIR_DOCS = 320
+KCORE_K = 10
+
+# shared oracle CTEs: the co-mention graph recipe (tokenize →
+# per-doc-distinct incidence → pair counts), textually reused by the
+# word_colloc / triangle_counts / kcore_nodes oracles so all three
+# check the SAME graph construction
+_SQL_COMENTION_CTES = """
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+inc AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> ''),
+pair AS (SELECT a.token AS w1, b.token AS w2, CAST(count(*) AS BIGINT) AS pair_docs
+         FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.token < b.token
+         GROUP BY 1, 2)
+"""
+
+
+def q_word_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: collocation mining (r06 operator, born folded — registry at
+    the 50 cap): doc-level co-occurrence counts + integer-ppm lift over
+    the documents corpus (text/colloc.py). Lift is monotone in PMI, so
+    the association ranking is PMI's — without a cross-engine ``log``
+    in the hash path; SQL DIV keeps every ppm exact."""
+    from pie_spark.text.colloc import collocation_lift
+
+    return collocation_lift(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COLLOC_MIN_PAIR_DOCS
+    )
+
+
+SQL_WORD_COLLOC = f"""
+WITH {_SQL_COMENTION_CTES},
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM inc GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT w1, w2, pair_docs,
+       CAST((n.n_docs * pair_docs * 1000000) // (d1.df * d2.df) AS BIGINT) AS lift_ppm
+FROM pair
+JOIN df d1 ON d1.token = pair.w1
+JOIN df d2 ON d2.token = pair.w2
+CROSS JOIN n
+WHERE pair_docs >= {COLLOC_MIN_PAIR_DOCS}
+"""
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: triangle counting (r06 operator, born folded — registry at
+    the 50 cap): per-node triangle participation on the co-mention
+    graph (edges = term pairs co-occurring in ≥ COMENTION_MIN_PAIR_DOCS
+    docs) via
+    degree-ordered orientation (graph/triangles.py). The oracle counts
+    the NAIVE way — a 3-way self-join with a < b < c — so the hash
+    check proves the oriented algorithm finds exactly the naive set."""
+    from pie_spark.graph.triangles import triangle_counts
+    from pie_spark.text.colloc import comention_edges
+
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return triangle_counts(edges)
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH {_SQL_COMENTION_CTES},
+e AS (SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}),
+tri AS (
+  SELECT e1.w1 AS x, e1.w2 AS y, e2.w2 AS z
+  FROM e e1
+  JOIN e e2 ON e2.w1 = e1.w2
+  JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY 1
+"""
+
+
+_KCORE_LAST_SF_DIR: str | None = None
+
+
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: k-core decomposition (r06 operator, born folded — registry
+    at the 50 cap): iterative peeling (graph/kcore.py) of the same
+    co-mention graph the triangle row runs on, k=KCORE_K. The lazy
+    oracle replays peeling in the independent plain-Python
+    implementation over the DuckDB-read edge set, inlined as VALUES
+    (the Lloyd/PageRank/LPA replay precedent)."""
+    from pie_spark.graph.kcore import kcore
+    from pie_spark.text.colloc import comention_edges
+
+    global _KCORE_LAST_SF_DIR
+    _KCORE_LAST_SF_DIR = sf_dir
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return kcore(edges, k=KCORE_K)
+
+
+def _kcore_nodes_sql() -> str:
+    """Lazy oracle: plain-Python peel over the SAME parquet-derived
+    edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.kcore import kcore_reference
+
+    base = _KCORE_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    core = kcore_reference(edges, k=KCORE_K)
+    if not core:
+        return "SELECT CAST(NULL AS VARCHAR) AS node, CAST(NULL AS BIGINT) AS core_deg WHERE FALSE"
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({d} AS BIGINT))" for n, d in sorted(core.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, core_deg)"
+
+
+# k-anonymity audit constants: quasi-identifiers = (nation, segment,
+# shifted-kilo balance bucket); sensitive = exact balance in centi.
+# The +100000 shift keeps every bucket argument non-negative so Spark's
+# truncating DIV and DuckDB's flooring // agree (negative acctbal
+# exists in the fixtures: min -994.28).
+_KANON_SHIFT = 100_000
+_KANON_BUCKET = 100_000
+
+
+def q_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: k-anonymity / l-diversity release audit (r06 operator, born
+    folded — registry at the 50 cap): the class-size × diversity
+    histogram (eval/kanon.py) over customer with QI = (nation, segment,
+    kilo-balance bucket) and sensitive = exact centi balance. Exact
+    integer counts end to end."""
+    from pie_spark.eval.kanon import kanon_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_centi"),
+    ).withColumn(
+        "bal_bucket",
+        F.expr(f"(bal_centi + {_KANON_SHIFT}L) DIV {_KANON_BUCKET}L"),
+    )
+    return kanon_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], "bal_centi"
+    )
+
+
+SQL_KANON_RISK = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_centi,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_SHIFT}) // {_KANON_BUCKET} AS bal_bucket
+  FROM customer
+),
+per_value AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, bal_centi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1, 2, 3, 4
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(sum(n) AS BIGINT) AS class_size,
+         CAST(count(*) AS BIGINT) AS l_distinct
+  FROM per_value GROUP BY 1, 2, 3
+)
+SELECT class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_individuals,
+       CAST(min(l_distinct) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN l_distinct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1_classes
+FROM classes GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

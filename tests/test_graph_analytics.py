@@ -1,0 +1,220 @@
+"""Triangle counting (graph/triangles.py) and k-core peeling
+(graph/kcore.py): fuzz equality vs brute-force / independent Python
+references, planted-structure expectations, orientation invariance,
+degenerate inputs. Collocation lift (text/colloc.py) and the
+k-anonymity audit (eval/kanon.py): hand-computed micro-fixtures +
+mass invariants. Oracle parity for all four lives in test_oracle.py
+(folded rows)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pie_spark.eval.kanon import anonymity_classes, kanon_report
+from pie_spark.graph.kcore import kcore, kcore_reference
+from pie_spark.graph.triangles import canonical_edges, triangle_counts, triangles
+from pie_spark.text.colloc import collocation_lift, comention_edges
+
+
+def _edges_df(spark, edge_list, parts=None):
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    return df.repartition(parts) if parts else df
+
+
+def _brute_triangles(edge_list):
+    """Per-node triangle counts by exhaustive combination check."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edge_list:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[str, int] = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_known_graphs(spark):
+    # K4: every node is in C(3,2) = 3 triangles
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    got = {r.node: r.n_triangles for r in triangle_counts(_edges_df(spark, k4)).collect()}
+    assert got == {n: 3 for n in "abcd"}
+    # star graph: hub + spokes, zero triangles
+    star = [("hub", f"s{i}") for i in range(8)]
+    assert triangle_counts(_edges_df(spark, star)).count() == 0
+    # triangle + pendant: pendant not in output
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {r.node: r.n_triangles for r in triangle_counts(_edges_df(spark, tri)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_fuzz_vs_brute_force(spark):
+    rng = random.Random(60601)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        nodes = [f"n{i}" for i in range(n)]
+        edge_list = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.45
+        ]
+        if not edge_list:
+            continue
+        # duplicates / reversed duplicates / self-loops must be inert
+        noisy = edge_list + [(b, a) for a, b in edge_list[::3]] + [("n0", "n0")]
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_counts(_edges_df(spark, noisy, parts=7)).collect()
+        }
+        assert got == _brute_triangles(edge_list), f"trial {trial}"
+
+
+def test_triangle_corner_table_each_once(spark):
+    # each triangle appears exactly once in the corner table, as a set
+    k4 = [(a, b) for a, b in itertools.combinations("abcd", 2)]
+    rows = triangles(_edges_df(spark, k4)).collect()
+    tris = {frozenset((r.x, r.y, r.z)) for r in rows}
+    assert len(rows) == len(tris) == 4
+    assert all(len(t) == 3 for t in tris)
+
+
+def test_canonical_edges_dedup(spark):
+    e = canonical_edges(
+        _edges_df(spark, [("b", "a"), ("a", "b"), ("a", "a"), ("a", "c")])
+    ).collect()
+    assert sorted((r.src, r.dst) for r in e) == [("a", "b"), ("a", "c")]
+
+
+# ------------------------------------------------------------------- k-core
+
+
+def test_kcore_known_graphs(spark):
+    # K5 minus one edge: 3-core keeps all 5 (min degree 3); 4-core is
+    # the remaining K? — peel: two degree-3 nodes drop, then the rest
+    # fall below 4 → empty
+    k5 = [(a, b) for a, b in itertools.combinations("abcde", 2)]
+    k5m = [e for e in k5 if e != ("a", "b")]
+    got3 = {r.node: r.core_deg for r in kcore(_edges_df(spark, k5m), k=3).collect()}
+    assert got3 == kcore_reference(k5m, k=3)
+    assert set(got3) == set("abcde")
+    assert kcore(_edges_df(spark, k5m), k=4).count() == 0
+    # triangle with a chain tail: 2-core = the triangle only
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    got2 = {r.node: r.core_deg for r in kcore(_edges_df(spark, g), k=2).collect()}
+    assert got2 == {"a": 2, "b": 2, "c": 2} == kcore_reference(g, k=2)
+
+
+def test_kcore_fuzz_vs_reference(spark):
+    rng = random.Random(60602)
+    for trial in range(4):
+        n = rng.randint(8, 16)
+        nodes = [f"n{i}" for i in range(n)]
+        edge_list = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.35
+        ]
+        for k in (2, 3, 4):
+            got = {
+                r.node: r.core_deg
+                for r in kcore(_edges_df(spark, edge_list, parts=5), k=k).collect()
+            }
+            assert got == kcore_reference(edge_list, k=k), f"trial {trial} k={k}"
+
+
+def test_kcore_requires_iterative_peeling(spark):
+    # chain into a triangle: naive min-degree filter would keep c,d
+    # (degree 2) but true 2-core peeling must cascade the chain away
+    g = [("x1", "x2"), ("x2", "x3"), ("x3", "a"), ("a", "b"), ("b", "c"), ("a", "c")]
+    got = {r.node: r.core_deg for r in kcore(_edges_df(spark, g), k=2).collect()}
+    assert set(got) == {"a", "b", "c"}
+
+
+# -------------------------------------------------------------- collocation
+
+
+def test_collocation_lift_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y"),
+            (2, "x y"),
+            (3, "x z"),
+            (4, "z q"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.w1, r.w2): (r.pair_docs, r.lift_ppm)
+        for r in collocation_lift(docs).collect()
+    }
+    # df: x=3 y=2 z=2 q=1; n_docs=4
+    # (x,y): pair=2 → 4·2·1e6 // (3·2) = 1333333
+    # (x,z): pair=1 → 4·1·1e6 // (3·2) = 666666
+    # (q,z): pair=1 → 4·1·1e6 // (1·2) = 2000000
+    assert got == {
+        ("x", "y"): (2, 1333333),
+        ("x", "z"): (1, 666666),
+        ("q", "z"): (1, 2000000),
+    }
+    # lift above/below the 1e6 independence line matches PMI sign
+    assert got[("x", "y")][1] > 1_000_000 > got[("x", "z")][1]
+
+
+def test_comention_edges_threshold_and_vocab(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(3)] + [(9, "a d")], ["doc_id", "text"]
+    )
+    e = comention_edges(docs, min_pair_docs=3)
+    assert sorted((r.src, r.dst) for r in e.collect()) == [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    ]
+    vocab = spark.createDataFrame([("a",), ("b",)], ["token"])
+    lifted = collocation_lift(docs, min_pair_docs=1, vocab=vocab).collect()
+    assert sorted((r.w1, r.w2) for r in lifted) == [("a", "b")]
+
+
+# ------------------------------------------------------------- k-anonymity
+
+
+def test_kanon_hand_computed(spark):
+    rows = [
+        # class (1, 'A'): 3 members, sensitive values {10, 10, 20} → l=2
+        (1, "A", 10), (1, "A", 10), (1, "A", 20),
+        # class (1, 'B'): 1 member → k=1 singleton, l=1
+        (1, "B", 10),
+        # class (2, 'A'): 2 members, same sensitive → l=1 (homogeneous)
+        (2, "A", 30), (2, "A", 30),
+    ]
+    df = spark.createDataFrame(rows, ["qa", "qb", "sens"])
+    classes = {
+        (r.qa, r.qb): (r.class_size, r.l_distinct)
+        for r in anonymity_classes(df, ["qa", "qb"], "sens").collect()
+    }
+    assert classes == {(1, "A"): (3, 2), (1, "B"): (1, 1), (2, "A"): (2, 1)}
+    rep = {
+        r.class_size: (r.n_classes, r.n_individuals, r.min_l, r.n_l1_classes)
+        for r in kanon_report(df, ["qa", "qb"], "sens").collect()
+    }
+    assert rep == {3: (1, 3, 2, 0), 1: (1, 1, 1, 1), 2: (1, 2, 1, 1)}
+    # histogram mass invariant: Σ n_individuals = N input rows
+    assert sum(v[1] for v in rep.values()) == len(rows)
+
+
+def test_kanon_fixture_mass_invariant(spark):
+    from pie_spark.queries import q_kanon_risk
+
+    from .conftest import SF_DIR_01 as sf_dir
+
+    rep = q_kanon_risk(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n_individuals for r in rep) == n
+    assert all(r.n_individuals == r.class_size * r.n_classes for r in rep)
+    assert all(r.min_l >= 1 and r.n_l1_classes <= r.n_classes for r in rep)

@@ -141,6 +141,19 @@ def _folded_queries():
         # r06, born folded: data-quality constraint report — every
         # violation count recomputed in direct SQL
         ("quality_checks", q.q_quality_checks, q._quality_checks_sql()),
+        # r06, born folded: collocation lift — integer-ppm association
+        # (monotone in PMI, no cross-engine log), full SQL replay
+        ("word_colloc", q.q_word_colloc, q.SQL_WORD_COLLOC),
+        # r06, born folded: triangle counting — degree-ordered
+        # orientation vs the NAIVE 3-way-join oracle (independent
+        # formulation, so the hash proves the orientation algebra)
+        ("triangle_counts", q.q_triangle_counts, q.SQL_TRIANGLE_COUNTS),
+        # r06, born folded: k-core peeling — oracle = independent
+        # plain-Python peel over the DuckDB-read edge set as VALUES
+        ("kcore_nodes", q.q_kcore_nodes, q._kcore_nodes_sql),
+        # r06, born folded: k-anonymity / l-diversity audit — pure
+        # relational algebra, DuckDB replays it verbatim
+        ("kanon_risk", q.q_kanon_risk, q.SQL_KANON_RISK),
     ]
 
 
