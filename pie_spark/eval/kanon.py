@@ -71,3 +71,36 @@ def kanon_report(
         .cast("long")
         .alias("n_l1_classes"),
     )
+
+
+def generalization_ladder(df: DataFrame, qi_cols: Sequence[str]) -> DataFrame:
+    """(level, n_classes, min_class_size, n_below_5, n_below_25): class
+    statistics at EVERY prefix-generalization level of the QI hierarchy
+    in ONE pass — level d keeps the first d quasi-identifiers and
+    suppresses the rest (the standard full-domain generalization
+    ladder, finest-first ordering of ``qi_cols``). level = len(qi_cols)
+    is the raw table; level = 0 the fully-suppressed single class.
+
+    Implementation is a ROLLUP: Spark's Expand emits every prefix
+    grouping from a single scan (the grouping-sets machinery the OLAP
+    rollup operator uses), so choosing the finest level that satisfies
+    a k threshold costs one job however deep the ladder. The chooser
+    reads THIS bounded table (≤ len(qi_cols)+1 rows), never the data.
+    """
+    qi = list(qi_cols)
+    lvl = F.lit(len(qi)) - (
+        sum(F.grouping(c).cast("long") for c in qi) if qi else F.lit(0)
+    )
+    # grouping(c) flags suppressed columns; prefix levels are the rows
+    # where suppression is a suffix of the ladder (rollup emits exactly
+    # those), level = #kept columns
+    classes = df.rollup(*qi).agg(
+        F.count("*").cast("long").alias("class_size"),
+        lvl.cast("long").alias("level"),
+    )
+    return classes.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum((F.col("class_size") < 5).cast("long")).cast("long").alias("n_below_5"),
+        F.sum((F.col("class_size") < 25).cast("long")).cast("long").alias("n_below_25"),
+    )

@@ -127,3 +127,31 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, cluster_ppm): local clustering
+    coefficient in exact integer ppm —
+        cluster_ppm = (2 · 10^6 · n_triangles) DIV (deg · (deg − 1))
+    for every node with deg ≥ 2 (nodes without a wedge have no defined
+    coefficient). Low coefficient at high degree is the hub/ambiguous-
+    surface signature; ppm integer division keeps the value hashable
+    cross-engine (no float ratio). Degrees come from the same canonical
+    edge set the triangles were counted on."""
+    ce = canonical_edges(edges)
+    deg = (
+        ce.select(F.col("src").alias("node"))
+        .unionByName(ce.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tc = triangle_counts(edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tc, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long"))
+        .withColumn(
+            "cluster_ppm",
+            F.expr("(2000000L * n_triangles) DIV (deg * (deg - 1L))").cast("long"),
+        )
+    )

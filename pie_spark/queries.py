@@ -3880,6 +3880,92 @@ FROM classes GROUP BY 1
 """
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b: local clustering coefficients (r06 operator, born folded —
+    registry at the 50 cap): exact integer-ppm coefficient per node of
+    the same co-mention graph the triangle row runs on —
+    2e6·tri DIV (deg·(deg−1)). The oracle recomputes degree AND naive
+    triangle counts independently, then applies the identical DIV."""
+    from pie_spark.graph.triangles import clustering_coefficients
+    from pie_spark.text.colloc import comention_edges
+
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return clustering_coefficients(edges)
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_COMENTION_CTES},
+e AS (SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT w1 AS node FROM e UNION ALL SELECT w2 FROM e) _
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.w1 AS x, e1.w2 AS y, e2.w2 AS z
+  FROM e e1
+  JOIN e e2 ON e2.w1 = e1.w2
+  JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n FROM corners GROUP BY 1)
+SELECT d.node, d.deg,
+       CAST(coalesce(tc.n, 0) AS BIGINT) AS n_triangles,
+       CAST((2000000 * coalesce(tc.n, 0)) // (d.deg * (d.deg - 1)) AS BIGINT) AS cluster_ppm
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def q_kanon_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: generalization ladder (r06 operator, born folded — registry
+    at the 50 cap): k-anonymity class statistics at every prefix-
+    generalization level of the QI hierarchy in ONE rollup pass
+    (eval/kanon.py) — the chooser for "coarsen until every class ≥ k"
+    reads this bounded table, never the data. Same customer QI ladder
+    as kanon_risk, finest-first (nation, segment, balance bucket)."""
+    from pie_spark.eval.kanon import generalization_ladder
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_centi"),
+    ).withColumn(
+        "bal_bucket",
+        F.expr(f"(bal_centi + {_KANON_SHIFT}L) DIV {_KANON_BUCKET}L"),
+    )
+    return generalization_ladder(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    )
+
+
+SQL_KANON_LADDER = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_SHIFT}) // {_KANON_BUCKET} AS bal_bucket
+  FROM customer
+),
+classes AS (
+  SELECT CAST(3 - (GROUPING(c_nationkey) + GROUPING(c_mktsegment) + GROUPING(bal_bucket)) AS BIGINT) AS level,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM c
+  GROUP BY ROLLUP (c_nationkey, c_mktsegment, bal_bucket)
+)
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_5,
+       CAST(sum(CASE WHEN class_size < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_25
+FROM classes GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

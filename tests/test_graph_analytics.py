@@ -11,9 +11,18 @@ from __future__ import annotations
 import itertools
 import random
 
-from pie_spark.eval.kanon import anonymity_classes, kanon_report
+from pie_spark.eval.kanon import (
+    anonymity_classes,
+    generalization_ladder,
+    kanon_report,
+)
 from pie_spark.graph.kcore import kcore, kcore_reference
-from pie_spark.graph.triangles import canonical_edges, triangle_counts, triangles
+from pie_spark.graph.triangles import (
+    canonical_edges,
+    clustering_coefficients,
+    triangle_counts,
+    triangles,
+)
 from pie_spark.text.colloc import collocation_lift, comention_edges
 
 
@@ -91,6 +100,28 @@ def test_canonical_edges_dedup(spark):
         _edges_df(spark, [("b", "a"), ("a", "b"), ("a", "a"), ("a", "c")])
     ).collect()
     assert sorted((r.src, r.dst) for r in e) == [("a", "b"), ("a", "c")]
+
+
+def test_clustering_coefficients(spark):
+    # triangle with a pendant: a,b have deg 2 and 1 triangle → ppm 1e6;
+    # c has deg 3, 1 triangle → 2e6·1 DIV (3·2) = 333333; d deg 1 → absent
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {
+        r.node: (r.deg, r.n_triangles, r.cluster_ppm)
+        for r in clustering_coefficients(_edges_df(spark, g)).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1_000_000),
+        "b": (2, 1, 1_000_000),
+        "c": (3, 1, 333_333),
+    }
+    # star: hub deg 4, zero triangles → coefficient 0; spokes deg 1 absent
+    star = [("hub", f"s{i}") for i in range(4)]
+    got = {
+        r.node: r.cluster_ppm
+        for r in clustering_coefficients(_edges_df(spark, star)).collect()
+    }
+    assert got == {"hub": 0}
 
 
 # ------------------------------------------------------------------- k-core
@@ -206,6 +237,29 @@ def test_kanon_hand_computed(spark):
     assert rep == {3: (1, 3, 2, 0), 1: (1, 1, 1, 1), 2: (1, 2, 1, 1)}
     # histogram mass invariant: Σ n_individuals = N input rows
     assert sum(v[1] for v in rep.values()) == len(rows)
+
+
+def test_generalization_ladder_hand_computed(spark):
+    rows = [
+        (1, "A", 10), (1, "A", 11), (1, "B", 12),
+        (2, "A", 13),
+    ]
+    df = spark.createDataFrame(rows, ["qa", "qb", "qc"])
+    got = {
+        r.level: (r.n_classes, r.min_class_size, r.n_below_5)
+        for r in generalization_ladder(df, ["qa", "qb", "qc"]).collect()
+    }
+    # level 3: 4 singleton classes; level 2: (1,A)=2 (1,B)=1 (2,A)=1;
+    # level 1: qa=1 → 3, qa=2 → 1; level 0: one class of 4
+    assert got == {
+        3: (4, 1, 4),
+        2: (3, 1, 3),
+        1: (2, 1, 2),
+        0: (1, 4, 1),
+    }
+    # coarsening monotonicity: min class size never shrinks up the ladder
+    mins = [got[lvl][1] for lvl in sorted(got, reverse=True)]
+    assert mins == sorted(mins)
 
 
 def test_kanon_fixture_mass_invariant(spark):

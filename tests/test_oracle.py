@@ -154,6 +154,12 @@ def _folded_queries():
         # r06, born folded: k-anonymity / l-diversity audit — pure
         # relational algebra, DuckDB replays it verbatim
         ("kanon_risk", q.q_kanon_risk, q.SQL_KANON_RISK),
+        # r06, born folded: local clustering coefficients — oracle
+        # recomputes degree + naive triangles, identical integer DIV
+        ("clustering_coeff", q.q_clustering_coeff, q.SQL_CLUSTERING_COEFF),
+        # r06, born folded: generalization ladder — one rollup pass vs
+        # DuckDB GROUP BY ROLLUP + GROUPING()
+        ("kanon_ladder", q.q_kanon_ladder, q.SQL_KANON_LADDER),
     ]
 
 
