@@ -3707,7 +3707,7 @@ pair AS (SELECT a.token AS w1, b.token AS w2, CAST(count(*) AS BIGINT) AS pair_d
 
 
 def q_word_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21: collocation mining (r06 operator, born folded — registry at
+    """X24: collocation mining (r06 operator, born folded — registry at
     the 50 cap): doc-level co-occurrence counts + integer-ppm lift over
     the documents corpus (text/colloc.py). Lift is monotone in PMI, so
     the association ranking is PMI's — without a cross-engine ``log``

@@ -1,5 +1,5 @@
 """Word co-occurrence statistics — collocation mining and the
-co-mention graph builder (X21; KG analytics feeder).
+co-mention graph builder (X24; KG analytics feeder).
 
 Two consumers motivate this stage in a KG-construction engine:
   * collocation mining for the text-quality/tokenizer stack (which

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Planted-hub scale measurement for the graph analytics family
+(graph/triangles.py, graph/kcore.py): quantify what degree-ordered
+orientation buys on a skewed graph, and time the end-to-end operators
+at the 10^6-edge rung.
+
+The quadratic term in triangle counting is the wedge count. Without
+orientation the wedge join emits Σ C(deg(v), 2) rows — a hub of degree
+h contributes h²/2 on its own. Oriented, it emits Σ C(outdeg(v), 2)
+with outdeg bounded by the graph degeneracy (hub edges point INTO the
+hub). This tool builds a deterministic graph (hash-derived background
+edges + one planted hub), computes BOTH wedge counts analytically
+(cheap aggregates — the naive count is never materialized, that is the
+point), then runs the real oriented triangle_counts + k-core peel and
+reports wall times. Results recorded in BENCH/BASELINE.md.
+
+Usage:
+    python tools/graph_bench.py                 # V=1e5, E≈1e6, hub 5e4
+    PIE_GRAPH_V=200000 PIE_GRAPH_E=2000000 python tools/graph_bench.py
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pie_spark.graph.kcore import kcore
+    from pie_spark.graph.triangles import _oriented, canonical_edges, triangle_counts
+    from pie_spark.session import build_session
+
+    v = int(os.environ.get("PIE_GRAPH_V", 100_000))
+    e_bg = int(os.environ.get("PIE_GRAPH_E", 1_000_000))
+    hub_deg = int(os.environ.get("PIE_GRAPH_HUB", 50_000))
+
+    spark = build_session("graph-bench")
+    try:
+        # deterministic background: xxhash64 endpoint pairs (no RNG —
+        # same discipline as the fixture generators; a LINEAR map mod v
+        # is periodic in v and collapses the edge set, measured)
+        bg = spark.range(e_bg).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(v)).cast("string").alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + e_bg), F.lit(v)).cast("string").alias("dst"),
+        )
+        hub = spark.range(hub_deg).select(
+            F.lit("HUB").alias("src"), (F.col("id") % v).cast("string").alias("dst")
+        )
+        edges = bg.unionByName(hub)
+
+        t0 = time.time()
+        ce = canonical_edges(edges).localCheckpoint(eager=True)
+        n_edges = ce.count()
+        build_s = time.time() - t0
+
+        deg = (
+            ce.select(F.col("src").alias("node"))
+            .unionByName(ce.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        naive_wedges, max_deg = deg.select(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.max("d")
+        ).first()
+        o = _oriented(ce)
+        odeg = o.groupBy("lo").agg(F.count("*").alias("d"))
+        oriented_wedges, max_outdeg = odeg.select(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.max("d")
+        ).first()
+
+        t0 = time.time()
+        tc = triangle_counts(ce)
+        total_tri = (tc.agg(F.sum("n_triangles")).first()[0] or 0) // 3
+        tri_s = time.time() - t0
+
+        t0 = time.time()
+        core = kcore(ce, k=8)
+        core_n = core.count()
+        kcore_s = time.time() - t0
+
+        print(
+            json.dumps(
+                {
+                    "v": v,
+                    "edges_canonical": n_edges,
+                    "hub_planted_deg": hub_deg,
+                    "max_deg": int(max_deg),
+                    "max_outdeg_oriented": int(max_outdeg),
+                    "naive_wedges": int(naive_wedges),
+                    "oriented_wedges": int(oriented_wedges),
+                    "wedge_reduction_x": round(naive_wedges / max(oriented_wedges, 1), 1),
+                    "triangles": int(total_tri),
+                    "build_sec": round(build_s, 2),
+                    "triangle_sec": round(tri_s, 2),
+                    "kcore8_sec": round(kcore_s, 2),
+                    "kcore8_nodes": core_n,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
