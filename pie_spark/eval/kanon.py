@@ -73,6 +73,26 @@ def kanon_report(
     )
 
 
+def suppress_below_k(
+    df: DataFrame, qi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """The enforcement half of the audit: keep only rows whose QI
+    equivalence class has ≥ k members (record suppression — the
+    fallback when the generalization ladder's acceptable levels still
+    leave small classes). Output carries ``class_size`` so downstream
+    consumers can re-verify the guarantee without re-aggregating.
+
+    Scale shape: one algebraic class-size agg (|classes| rows — far
+    below row count) joined back on the QI key; Catalyst broadcasts
+    the class table when it fits, AQE covers skewed giant classes.
+    Deterministic: suppression is a pure function of the class size,
+    never a sample.
+    """
+    qi = list(qi_cols)
+    sizes = df.groupBy(*qi).agg(F.count("*").cast("long").alias("class_size"))
+    return df.join(sizes.filter(F.col("class_size") >= k), qi)
+
+
 def generalization_ladder(df: DataFrame, qi_cols: Sequence[str]) -> DataFrame:
     """(level, n_classes, min_class_size, n_below_5, n_below_25): class
     statistics at EVERY prefix-generalization level of the QI hierarchy

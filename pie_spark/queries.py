@@ -3923,6 +3923,85 @@ WHERE d.deg >= 2
 """
 
 
+KANON_SUPPRESS_K = 10
+
+
+def q_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: k-anonymity record suppression (r06 operator, born folded —
+    registry at the 50 cap): the enforcement transform — customers
+    whose (nation, segment) class has ≥ 10 members survive, each row
+    carrying its class_size for downstream re-verification. Pure
+    relational algebra; DuckDB replays it verbatim."""
+    from pie_spark.eval.kanon import suppress_below_k
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return suppress_below_k(
+        c, ["c_nationkey", "c_mktsegment"], k=KANON_SUPPRESS_K
+    )
+
+
+SQL_KANON_SUPPRESS = f"""
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c.c_nationkey, c.c_mktsegment, c.c_custkey, s.class_size
+FROM customer c JOIN sizes s
+  ON s.c_nationkey = c.c_nationkey AND s.c_mktsegment = c.c_mktsegment
+WHERE s.class_size >= {KANON_SUPPRESS_K}
+"""
+
+
+SKIPGRAM_WINDOW = 3
+
+
+def q_skipgram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: skip-gram pair extraction (r06 operator, born folded —
+    registry at the 50 cap): directional co-occurrence counts within a
+    3-token window + GloVe 1/d distance weights in exact integer ppm
+    (text/colloc.py:skipgram_counts) — the word2vec/GloVe feeder. One
+    shuffle: all three lead offsets share the (doc_id, pos) window
+    sort; the oracle replays lead/stack/weights verbatim in DuckDB."""
+    from pie_spark.text.colloc import skipgram_counts
+
+    return skipgram_counts(
+        _tp(spark, sf_dir, "documents"), window=SKIPGRAM_WINDOW
+    )
+
+
+def _skipgram_sql() -> str:
+    w = SKIPGRAM_WINDOW
+    leads = ",\n         ".join(
+        f"lead(token, {d}) OVER w AS c{d}" for d in range(1, w + 1)
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT token AS w1, c{d} AS w2, {d} AS dist FROM led WHERE c{d} IS NOT NULL"
+        for d in range(1, w + 1)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS token, unnest(range(1, len(l) + 1)) AS i
+  FROM base
+),
+ft AS (SELECT * FROM toks WHERE token <> ''),
+led AS (
+  SELECT doc_id, token,
+         {leads}
+  FROM ft
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+pairs AS (
+  {arms}
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(1000000 // dist) AS BIGINT) AS glove_weight_ppm
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def q_kanon_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3: generalization ladder (r06 operator, born folded — registry
     at the 50 cap): k-anonymity class statistics at every prefix-

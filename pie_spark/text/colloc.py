@@ -115,6 +115,49 @@ def collocation_lift(
     )
 
 
+def skipgram_counts(
+    docs: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n_pairs, glove_weight_ppm): directional skip-gram
+    co-occurrence counts — the word2vec/GloVe pair-extraction stage of
+    an embedding-training pipeline. w2 follows w1 within ``window``
+    (non-empty) token positions; glove_weight_ppm is GloVe's 1/d
+    distance weighting as exact integer ppm (Σ 1000000 DIV d — no
+    float harmonic sums, partitioning-invariant).
+
+    Scale shape: ONE shuffle total. Tokens window-sort by (doc_id,
+    pos); the ``window`` context columns are ``lead`` offsets sharing
+    that single sort; ``stack`` fans them to (dist, ctx) rows
+    narrowly; the final count/sum agg is algebraic (map-side combine
+    collapses Zipf-hot pairs before the shuffle). Output is
+    vocab²-bounded, corpus-size-independent. No self-join — the
+    window-lead formulation replaces the (doc_id, |Δpos| ≤ w)
+    range-join a naive translation would shuffle twice for.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "token",
+        *[F.lead("token", d).over(w).alias(f"c{d}") for d in range(1, window + 1)],
+    )
+    stack_args = ", ".join(f"{d}, c{d}" for d in range(1, window + 1))
+    pairs = led.select(
+        F.col("token").alias("w1"),
+        F.expr(f"stack({window}, {stack_args}) AS (dist, w2)"),
+    ).filter(F.col("w2").isNotNull())
+    return pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.expr("1000000 DIV dist")).cast("long").alias("glove_weight_ppm"),
+    )
+
+
 def comention_edges(
     docs: DataFrame,
     min_pair_docs: int,

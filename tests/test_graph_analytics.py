@@ -212,6 +212,32 @@ def test_comention_edges_threshold_and_vocab(spark):
     assert sorted((r.w1, r.w2) for r in lifted) == [("a", "b")]
 
 
+def test_skipgram_counts_hand_computed(spark):
+    from pie_spark.text.colloc import skipgram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b  a")], ["doc_id", "text"]  # double space: empty token dropped
+    )
+    got = {
+        (r.w1, r.w2): (r.n_pairs, r.glove_weight_ppm)
+        for r in skipgram_counts(docs, window=2).collect()
+    }
+    # doc1 pairs (dist): a→b(1), a→a(2); b→a(1), b→c(2); a→c(1); doc2: b→a(1)
+    assert got == {
+        ("a", "b"): (1, 1_000_000),
+        ("a", "a"): (1, 500_000),
+        ("b", "a"): (2, 2_000_000),
+        ("b", "c"): (1, 500_000),
+        ("a", "c"): (1, 1_000_000),
+    }
+    # partitioning invariance
+    again = {
+        (r.w1, r.w2): (r.n_pairs, r.glove_weight_ppm)
+        for r in skipgram_counts(docs.repartition(7), window=2).collect()
+    }
+    assert again == got
+
+
 # ------------------------------------------------------------- k-anonymity
 
 
@@ -260,6 +286,19 @@ def test_generalization_ladder_hand_computed(spark):
     # coarsening monotonicity: min class size never shrinks up the ladder
     mins = [got[lvl][1] for lvl in sorted(got, reverse=True)]
     assert mins == sorted(mins)
+
+
+def test_suppress_below_k(spark):
+    from pie_spark.eval.kanon import suppress_below_k
+
+    rows = [(1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C")]
+    df = spark.createDataFrame(rows, ["qa", "qb"])
+    kept = suppress_below_k(df, ["qa", "qb"], k=2).collect()
+    assert sorted((r.qa, r.qb, r.class_size) for r in kept) == [
+        (1, "A", 3), (1, "A", 3), (1, "A", 3), (2, "B", 2), (2, "B", 2),
+    ]
+    # every survivor's class really has >= k members; k above max wipes all
+    assert suppress_below_k(df, ["qa", "qb"], k=4).count() == 0
 
 
 def test_kanon_fixture_mass_invariant(spark):

@@ -160,6 +160,12 @@ def _folded_queries():
         # r06, born folded: generalization ladder — one rollup pass vs
         # DuckDB GROUP BY ROLLUP + GROUPING()
         ("kanon_ladder", q.q_kanon_ladder, q.SQL_KANON_LADDER),
+        # r06, born folded: skip-gram pair extraction — window-lead
+        # formulation, GloVe 1/d weights in exact integer ppm
+        ("skipgram_counts", q.q_skipgram_counts, q._skipgram_sql()),
+        # r06, born folded: k-anonymity record suppression — the
+        # enforcement half of the V-family, verbatim SQL replay
+        ("kanon_suppress", q.q_kanon_suppress, q.SQL_KANON_SUPPRESS),
     ]
 
 
