@@ -3923,6 +3923,60 @@ WHERE d.deg >= 2
 """
 
 
+BFS_SOURCES = ["spark", "window"]
+_BFS_LAST_SF_DIR: str | None = None
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: multi-source BFS hop distances (r06 operator, born folded —
+    registry at the 50 cap): blast-radius reachability over the same
+    co-mention graph the triangle/k-core rows run on, sources =
+    BFS_SOURCES (graph/bfs.py). The lazy oracle replays BFS in the
+    independent plain-Python deque implementation over the DuckDB-read
+    edge set, inlined as VALUES."""
+    from pie_spark.graph.bfs import bfs_distances
+    from pie_spark.text.colloc import comention_edges
+
+    global _BFS_LAST_SF_DIR
+    _BFS_LAST_SF_DIR = sf_dir
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return bfs_distances(edges, BFS_SOURCES)
+
+
+def _bfs_distances_sql() -> str:
+    """Lazy oracle: plain-Python deque BFS over the SAME parquet-derived
+    edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.bfs import bfs_reference
+
+    base = _BFS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    dist = bfs_reference(edges, BFS_SOURCES)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({d} AS INTEGER))" for n, d in sorted(dist.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, dist)"
+
+
 KANON_SUPPRESS_K = 10
 
 

@@ -169,6 +169,50 @@ def test_kcore_requires_iterative_peeling(spark):
     assert set(got) == {"a", "b", "c"}
 
 
+# --------------------------------------------------------------------- BFS
+
+
+def test_bfs_known_graph(spark):
+    from pie_spark.graph.bfs import bfs_distances, bfs_reference
+
+    # chain a-b-c-d plus a shortcut a-c: c settles at 1 via the shortcut
+    g = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")]
+    got = {r.node: r.dist for r in bfs_distances(_edges_df(spark, g), ["a"]).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2} == bfs_reference(g, ["a"])
+    # disconnected component unreachable; multi-source reaches it
+    got2 = {
+        r.node: r.dist
+        for r in bfs_distances(_edges_df(spark, g), ["a", "x"]).collect()
+    }
+    assert got2 == {"a": 0, "x": 0, "b": 1, "c": 1, "y": 1, "d": 2}
+    # a source absent from the edge set still settles at 0
+    got3 = {
+        r.node: r.dist
+        for r in bfs_distances(_edges_df(spark, g), ["ghost"]).collect()
+    }
+    assert got3 == {"ghost": 0}
+
+
+def test_bfs_fuzz_vs_reference(spark):
+    from pie_spark.graph.bfs import bfs_distances, bfs_reference
+
+    rng = random.Random(60603)
+    for trial in range(3):
+        n = rng.randint(8, 14)
+        nodes = [f"n{i}" for i in range(n)]
+        edge_list = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.22
+        ]
+        srcs = rng.sample(nodes, 2)
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(_edges_df(spark, edge_list, parts=5), srcs).collect()
+        }
+        assert got == bfs_reference(edge_list, srcs), f"trial {trial}"
+
+
 # -------------------------------------------------------------- collocation
 
 

@@ -166,6 +166,9 @@ def _folded_queries():
         # r06, born folded: k-anonymity record suppression — the
         # enforcement half of the V-family, verbatim SQL replay
         ("kanon_suppress", q.q_kanon_suppress, q.SQL_KANON_SUPPRESS),
+        # r06, born folded: multi-source BFS hop distances — oracle =
+        # independent Python deque BFS over the DuckDB-read edge set
+        ("bfs_distances", q.q_bfs_distances, q._bfs_distances_sql),
     ]
 
 
