@@ -3923,6 +3923,51 @@ WHERE d.deg >= 2
 """
 
 
+JACCARD_MAX_MIDDLE_DEG = 20
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: neighborhood-Jaccard alias scoring (r06 operator, born
+    folded — registry at the 50 cap): distributional similarity over
+    the co-mention graph (graph/similarity.py) with the hub-middle
+    guard set BELOW the fixture's max degree (23) so the driver-style
+    hash check covers the approximation rule itself — the oracle
+    replays adjacency, the degree cut, pair counts, and the integer
+    DIV verbatim."""
+    from pie_spark.graph.similarity import neighborhood_jaccard
+    from pie_spark.text.colloc import comention_edges
+
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return neighborhood_jaccard(
+        edges, max_middle_degree=JACCARD_MAX_MIDDLE_DEG
+    )
+
+
+SQL_NEIGHBOR_JACCARD = f"""
+WITH {_SQL_COMENTION_CTES},
+e AS (SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}),
+adj AS (SELECT w1 AS src, w2 AS dst FROM e UNION ALL SELECT w2, w1 FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+mid AS (
+  SELECT adj.src, adj.dst FROM adj
+  JOIN deg ON deg.node = adj.src
+  WHERE deg.deg <= {JACCARD_MAX_MIDDLE_DEG}
+),
+p AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM mid x JOIN mid y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+)
+SELECT a, b, shared, da.deg AS deg_a, db.deg AS deg_b,
+       CAST((1000000 * shared) // (da.deg + db.deg - shared) AS BIGINT) AS jaccard_ppm
+FROM p
+JOIN deg da ON da.node = p.a
+JOIN deg db ON db.node = p.b
+"""
+
+
 BFS_SOURCES = ["spark", "window"]
 _BFS_LAST_SF_DIR: str | None = None
 

@@ -169,6 +169,66 @@ def test_kcore_requires_iterative_peeling(spark):
     assert set(got) == {"a", "b", "c"}
 
 
+def test_neighbor_jaccard_hand_computed(spark):
+    from pie_spark.graph.similarity import (
+        dropped_middle_stats,
+        neighborhood_jaccard,
+        neighborhood_jaccard_reference,
+    )
+
+    # square a-b-c-d-a: opposite corners share BOTH neighbors
+    g = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = {
+        (r.a, r.b): (r.shared, r.jaccard_ppm)
+        for r in neighborhood_jaccard(_edges_df(spark, g)).collect()
+    }
+    # (a,c): shared {b,d} = 2, union 2+2-2=2 → 1.0; adjacents share 0 → absent
+    assert got == {("a", "c"): (2, 1_000_000), ("b", "d"): (2, 1_000_000)}
+    assert got == neighborhood_jaccard_reference(g)
+    # hub guard: star middles above the cut are excluded but FULL
+    # degrees stay in the denominator — scores only shrink
+    star = [("hub", f"s{i}") for i in range(6)] + [("s0", "s1")]
+    with_hub = neighborhood_jaccard_reference(star, max_middle_degree=100)
+    cut = {
+        (r.a, r.b): (r.shared, r.jaccard_ppm)
+        for r in neighborhood_jaccard(_edges_df(spark, star), max_middle_degree=5).collect()
+    }
+    assert cut == neighborhood_jaccard_reference(star, max_middle_degree=5)
+    # hub (deg 6) dropped: spoke pairs lose their shared middle; only
+    # pairs discovered via the surviving s0/s1 middles remain
+    assert all(k in with_hub for k in cut)
+    assert all(cut[k][1] <= with_hub[k][1] for k in cut)
+    stats = dropped_middle_stats(_edges_df(spark, star), max_middle_degree=5).first()
+    assert (stats.n_dropped_middles, stats.dropped_degree_mass) == (1, 6)
+
+
+def test_neighbor_jaccard_fuzz(spark):
+    from pie_spark.graph.similarity import (
+        neighborhood_jaccard,
+        neighborhood_jaccard_reference,
+    )
+
+    rng = random.Random(60604)
+    for trial in range(3):
+        n = rng.randint(7, 12)
+        nodes = [f"n{i}" for i in range(n)]
+        edge_list = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.4
+        ]
+        for cut in (3, 1000):
+            got = {
+                (r.a, r.b): (r.shared, r.jaccard_ppm)
+                for r in neighborhood_jaccard(
+                    _edges_df(spark, edge_list, parts=5), max_middle_degree=cut
+                ).collect()
+            }
+            assert got == neighborhood_jaccard_reference(
+                edge_list, max_middle_degree=cut
+            ), f"trial {trial} cut={cut}"
+
+
 # --------------------------------------------------------------------- BFS
 
 

@@ -169,6 +169,10 @@ def _folded_queries():
         # r06, born folded: multi-source BFS hop distances — oracle =
         # independent Python deque BFS over the DuckDB-read edge set
         ("bfs_distances", q.q_bfs_distances, q._bfs_distances_sql),
+        # r06, born folded: neighborhood-Jaccard alias scoring — the
+        # hub-middle guard bites on the fixture (cut 20 < max deg 23),
+        # so the hash covers the approximation rule verbatim
+        ("neighbor_jaccard", q.q_neighbor_jaccard, q.SQL_NEIGHBOR_JACCARD),
     ]
 
 
