@@ -115,6 +115,28 @@ def collocation_lift(
     )
 
 
+def mention_comention_edges(
+    mentions: DataFrame,
+    min_pair_docs: int,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """(src, dst) co-mention edges over EXTRACTED ENTITY SURFACES —
+    the KG-native instantiation of this module: feed the pipeline's
+    mention table (extract_stage output — any detector mix) instead of
+    word tokens, and the triangle / k-core / BFS / alias-Jaccard
+    family runs on the entity graph directly. Incidence = per-doc
+    distinct surfaces; everything downstream is the same machinery as
+    ``comention_edges``."""
+    inc = mentions.select(
+        "doc_id", F.col(surface_col).alias("token")
+    ).distinct()
+    return (
+        cooccurrence_counts(inc)
+        .filter(F.col("pair_docs") >= min_pair_docs)
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    )
+
+
 def skipgram_counts(
     docs: DataFrame,
     window: int = 4,

@@ -342,6 +342,36 @@ def test_skipgram_counts_hand_computed(spark):
     assert again == got
 
 
+def test_entity_comention_graph_from_pipeline_mentions(spark):
+    """The KG-native path: the graph family runs on EXTRACTED ENTITY
+    SURFACES, not just word tokens — mention table from the real
+    extract_stage feeds mention_comention_edges, verified against a
+    plain-Python recount of the same mentions."""
+    import itertools as it
+
+    from pie_spark.config import PipelineConfig
+    from pie_spark.fixtures.gen import entity_dict_df, interleaved_docs
+    from pie_spark.pipeline import extract_stage
+    from pie_spark.text.colloc import mention_comention_edges
+
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+    mentions = extract_stage(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    edges = mention_comention_edges(mentions, min_pair_docs=2)
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    assert got, "entity co-mention graph is empty"
+    # independent recount over the collected mention incidence
+    inc = {(r.doc_id, r.surface) for r in mentions.select("doc_id", "surface").collect()}
+    per_doc: dict = {}
+    for d, s in inc:
+        per_doc.setdefault(d, set()).add(s)
+    cnt: dict = {}
+    for surfs in per_doc.values():
+        for a, b in it.combinations(sorted(surfs), 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    want = sorted(p for p, c in cnt.items() if c >= 2)
+    assert got == want
+
+
 # ------------------------------------------------------------- k-anonymity
 
 

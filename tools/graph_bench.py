@@ -87,6 +87,28 @@ def main() -> None:
         core_n = core.count()
         kcore_s = time.time() - t0
 
+        from pie_spark.graph.bfs import bfs_distances
+        from pie_spark.graph.similarity import (
+            dropped_middle_stats,
+            neighborhood_jaccard,
+        )
+
+        # BFS from the hub: worst-case frontier (hub reaches hub_deg
+        # nodes in one hop)
+        t0 = time.time()
+        bfs = bfs_distances(ce, ["HUB"])
+        bfs_n = bfs.count()
+        bfs_depth = bfs.agg(F.max("dist")).first()[0]
+        bfs_s = time.time() - t0
+
+        # alias-Jaccard with the hub guard biting (cut 64 ≪ hub deg):
+        # pair work tracks Σ C(deg≤64, 2), not the hub's C(50k, 2)
+        t0 = time.time()
+        nj = neighborhood_jaccard(ce, max_middle_degree=64, min_shared=2)
+        nj_n = nj.count()
+        nj_s = time.time() - t0
+        drops = dropped_middle_stats(ce, max_middle_degree=64).first()
+
         print(
             json.dumps(
                 {
@@ -103,6 +125,13 @@ def main() -> None:
                     "triangle_sec": round(tri_s, 2),
                     "kcore8_sec": round(kcore_s, 2),
                     "kcore8_nodes": core_n,
+                    "bfs_sec": round(bfs_s, 2),
+                    "bfs_reached": bfs_n,
+                    "bfs_depth": int(bfs_depth),
+                    "jaccard_sec": round(nj_s, 2),
+                    "jaccard_pairs": nj_n,
+                    "jaccard_dropped_middles": drops.n_dropped_middles,
+                    "jaccard_dropped_mass": drops.dropped_degree_mass,
                 }
             )
         )
