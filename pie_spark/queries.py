@@ -3203,6 +3203,98 @@ def _lloyd_replay_centroids(path: str, k: int, iters: int) -> dict[str, list[flo
 _ANN_IVF_LAST_SF_DIR: str | None = None
 
 
+# shared by q_pq_topk and _pq_topk_sql (the trained-IVF lockstep rule)
+PQ_M = 4
+PQ_KSUB = 16
+PQ_ITERS = 3
+PQ_TOPK = 10
+_PQ_LAST_SF_DIR: str | None = None
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (N6, folded oracle): train per-subspace
+    Lloyd codebooks, encode the corpus to m uint8-sized codes, answer
+    top-k by exact-integer ADC — the memory-scale path where raw
+    vectors never ride a broadcast or a shuffle again after encoding.
+    Every distance is BIGINT micro² so the DuckDB replay is bit-equal;
+    the oracle trains via pq_reference (the plain-Python twin pinned
+    bit-equal to train_pq by tests/test_ann.py), inlines the codebook
+    as VALUES, and replays encode + ADC + top-k in pure BIGINT SQL —
+    Spark-PQ ≡ Python-PQ ≡ DuckDB-ADC, the trained-IVF chain shape."""
+    from pie_spark.ann.pq import pq_encode, pq_topk, train_pq
+
+    global _PQ_LAST_SF_DIR
+    _PQ_LAST_SF_DIR = sf_dir
+    emb, q = _ann_queries(spark, sf_dir)
+    cb = train_pq(emb, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    codes = pq_encode(emb, cb, m=PQ_M)
+    return pq_topk(codes, q, cb, k=PQ_TOPK)
+
+
+def _pq_topk_sql(k: int = PQ_TOPK) -> str:
+    """DuckDB mirror of q_pq_topk: codebook = Python-replay training
+    over the SAME embeddings parquet (inlined VALUES, micro BIGINT),
+    then encode + ADC entirely in integer SQL. Lazy so importing
+    pie_spark.queries stays cheap."""
+    import os
+
+    import duckdb
+
+    from pie_spark.ann.pq import pq_reference
+
+    base = _PQ_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    path = base.rstrip("/") + "/embeddings.parquet"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(vec_id AS VARCHAR), embedding::DOUBLE[] "
+        f"FROM read_parquet('{path}')"
+    ).fetchall()
+    con.close()
+    vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+    cb = pq_reference(vecs, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    d = len(next(iter(cb.values())))
+    values = ",\n".join(
+        f"({s}, {c}, [" + ", ".join(str(int(x)) for x in cv) + "]::BIGINT[])"
+        for (s, c), cv in sorted(cb.items())
+    )
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {d} + 1), "
+        f"j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS BIGINT)"
+    )
+    return f"""
+WITH cb(sub, code, cv) AS (VALUES {values}),
+mv AS (SELECT CAST(vec_id AS VARCHAR) AS vec_id,
+              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS mvv
+       FROM embeddings),
+subs AS (SELECT vec_id, sub, list_slice(mvv, sub * {d} + 1, (sub + 1) * {d}) AS sv
+         FROM mv, (SELECT unnest(range({PQ_M})) AS sub)),
+assigned AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb.code,
+           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+             ORDER BY {sq} ASC, cb.code ASC) AS rn
+    FROM subs JOIN cb USING (sub)
+  ) WHERE rn = 1
+),
+qmv AS (SELECT CAST(vec_id AS VARCHAR) AS q_id,
+               list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS mvv
+        FROM embeddings WHERE vec_id < 3),
+qsubs AS (SELECT q_id, sub, list_slice(mvv, sub * {d} + 1, (sub + 1) * {d}) AS sv
+          FROM qmv, (SELECT unnest(range({PQ_M})) AS sub)),
+lut AS (SELECT q_id, sub, code, {sq} AS qd
+        FROM qsubs JOIN cb USING (sub)),
+scored AS (SELECT lut.q_id, assigned.vec_id, CAST(sum(qd) AS BIGINT) AS adist
+           FROM assigned JOIN lut USING (sub, code)
+           GROUP BY lut.q_id, assigned.vec_id)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS INT) AS rank,
+       vec_id, adist
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 def _ann_ivf_trained_sql(k: int = 10, nprobe: int = 4) -> str:
     """DuckDB mirror of the trained-IVF query. Training happens at
     SQL-build time via the independent Python replay over the SAME

@@ -269,3 +269,112 @@ def test_kmeans_recovers_planted_clusters(spark):
         .count()
     )
     assert mixed == 0
+
+
+# -------------------------------------------------------------------- PQ
+
+
+def test_pq_matches_python_replay_exactly(spark):
+    """train_pq / pq_encode / pq_topk vs the plain-Python integer
+    replay — EXACT equality of every codebook entry, every code and
+    every ADC distance (the kmeans bit-equality contract, extended to
+    the whole PQ chain; this is what licenses the folded DuckDB oracle
+    to train via pq_reference)."""
+    from pie_spark.ann.pq import (
+        pq_encode,
+        pq_encode_reference,
+        pq_reference,
+        pq_topk,
+        pq_topk_reference,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    cb = train_pq(emb, m=4, ksub=8, iters=3)
+    got_cb = {(r["sub"], r["code"]): list(r["cv"]) for r in cb.collect()}
+    vecs = {
+        str(r["vec_id"]): [float(x) for x in r["embedding"]] for r in emb.collect()
+    }
+    want_cb = pq_reference(vecs, m=4, ksub=8, iters=3)
+    assert got_cb == want_cb
+
+    codes = pq_encode(emb, cb, m=4)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    want_codes = pq_encode_reference(vecs, want_cb, m=4)
+    assert got_codes == want_codes
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got_t = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["adist"])
+        for r in pq_topk(codes, q, cb, k=5).collect()
+    )
+    qv = {str(r["q_id"]): [float(x) for x in r["q_vec"]] for r in q.collect()}
+    want_t = sorted(pq_topk_reference(want_codes, want_cb, qv, k=5))
+    assert got_t == want_t
+
+
+def test_pq_partitioning_invariant(spark):
+    from pie_spark.ann.pq import train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {
+        (r["sub"], r["code"]): list(r["cv"])
+        for r in train_pq(emb, m=4, ksub=8, iters=2).collect()
+    }
+    b = {
+        (r["sub"], r["code"]): list(r["cv"])
+        for r in train_pq(emb.repartition(13, "label"), m=4, ksub=8, iters=2).collect()
+    }
+    assert a == b
+
+
+def test_pq_adc_recovers_planted_clusters(spark):
+    """ADC top-k over PQ codes keeps planted-group members closer than
+    cross-group vectors: for every query, ALL top-k neighbors share the
+    query's planted direction (groups are axis-orthogonal, so subspace
+    quantization cannot confuse them — a recall floor, not a tie bet)."""
+    import pandas as pd
+
+    from pie_spark.ann.pq import pq_encode, pq_topk, train_pq
+
+    rows = []
+    for g in range(3):
+        base = [0.0] * 12
+        base[g * 4] = 1.0
+        for j in range(30):
+            v = list(base)
+            v[g * 4 + 1] = 0.05 + (j % 7) * 0.01
+            rows.append((f"g{g}-{j}", v, g))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    cb = train_pq(df, m=3, ksub=6, iters=3)
+    codes = pq_encode(df, cb, m=3)
+    q = df.filter(F.col("vec_id").isin("g0-0", "g1-0", "g2-0")).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_topk(codes, q, cb, k=10).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["vec_id"].split("-")[0] == r["q_id"].split("-")[0], (
+            f"query {r['q_id']} pulled cross-group neighbor {r['vec_id']}"
+        )
+
+
+def test_pq_plan_scale_safe(spark):
+    """Plan audit: zero Python stages; the codebook and LUT ride
+    broadcast joins (no Exchange on the corpus side of the ADC join);
+    the per-(q,vec) SUM is a partial-aggregable hash aggregate."""
+    from pie_spark.ann.pq import pq_encode, pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = train_pq(emb, m=4, ksub=8, iters=1)
+    codes = pq_encode(emb, cb, m=4)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plan = pq_topk(codes, q, cb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -173,6 +173,10 @@ def _folded_queries():
         # hub-middle guard bites on the fixture (cut 20 < max deg 23),
         # so the hash covers the approximation rule verbatim
         ("neighbor_jaccard", q.q_neighbor_jaccard, q.SQL_NEIGHBOR_JACCARD),
+        # r06, born folded: product-quantized ANN (N6) — codebook from
+        # the plain-Python PQ replay (pinned bit-equal to train_pq in
+        # test_ann.py), encode + ADC replayed in pure BIGINT SQL
+        ("pq_topk", q.q_pq_topk, q._pq_topk_sql),
     ]
 
 
