@@ -240,6 +240,76 @@ def pq_topk(
     )
 
 
+def pq_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-PQ — the production composition: a coarse quantizer prunes
+    the corpus to ``nprobe`` cells, then ADC scores only those cells'
+    codes. The coarse quantizer IS :func:`train_pq` with m=1 (the whole
+    vector as one subspace), so cell choice inherits the same exact
+    integer-L2 determinism as the fine codebooks — no float cosine in
+    the probe path to drift cross-engine. With nprobe = n_cells the
+    result is exactly :func:`pq_topk` (pinned in tests); with
+    nprobe < n_cells the scored row count drops to ~nprobe/n_cells of
+    the corpus — the knob that turns a full code-table scan into a
+    cell-local probe at 10^12 rows (cells are the bucketing key on
+    disk, so a probe reads nprobe buckets, not the table)."""
+    coarse = train_pq(embeddings, m=1, ksub=n_cells, iters=iters,
+                      id_col=id_col, vec_col=vec_col)
+    dim = len(embeddings.select(vec_col).first()[0])
+    cells = (
+        _assign(_sub_rows(embeddings, 1, dim, id_col, vec_col), coarse)
+        .select("vec_id", F.col("code").alias("cell"))
+    )
+    fine = train_pq(embeddings, m=m, ksub=ksub, iters=iters,
+                    id_col=id_col, vec_col=vec_col)
+    index = pq_encode(embeddings, fine, m, id_col=id_col, vec_col=vec_col).join(
+        cells, "vec_id"
+    )
+    # probe: top-nprobe cells per query by the same exact integer L2
+    qcell = _sub_rows(queries, 1, dim, q_id_col, q_vec_col,
+                      out_id="q_id", out_vec="qsv")
+    pw = Window.partitionBy("q_id").orderBy(F.asc("cd"), F.asc("cell"))
+    probes = (
+        qcell.join(F.broadcast(coarse), "sub")
+        .select("q_id", F.col("code").alias("cell"),
+                _l2(F.col("qsv"), F.col("cv")).alias("cd"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("q_id", "cell")
+    )
+    d_sub = dim // m
+    qsubs = _sub_rows(queries, m, d_sub, q_id_col, q_vec_col,
+                      out_id="q_id", out_vec="qsv")
+    lut = qsubs.join(F.broadcast(fine), "sub").select(
+        "q_id", "sub", "code", _l2(F.col("qsv"), F.col("cv")).alias("qd")
+    )
+    scored = (
+        index.join(F.broadcast(probes), "cell")
+        .select("q_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "adist")
+    )
+
+
 # ---------------------------------------------------------------- reference
 
 

@@ -378,3 +378,56 @@ def test_pq_plan_scale_safe(spark):
     plan = pq_topk(codes, q, cb, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_ivf_full_probe_equals_pq_topk(spark):
+    """nprobe = n_cells ⇒ IVF-PQ is exactly flat-PQ ADC (the coarse
+    layer prunes nothing): same trained fine codebooks, same exact
+    integer distances, row-for-row."""
+    from pie_spark.ann.pq import pq_encode, pq_ivf_topk, pq_topk, train_pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cb = train_pq(emb, m=4, ksub=8, iters=2)
+    flat = sorted(
+        map(tuple, pq_topk(pq_encode(emb, cb, m=4), q, cb, k=5).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            pq_ivf_topk(
+                emb, q, k=5, n_cells=6, nprobe=6, m=4, ksub=8, iters=2
+            ).collect(),
+        )
+    )
+    assert flat == ivf
+
+
+def test_pq_ivf_partial_probe_planted_recall(spark):
+    """nprobe=1 on axis-orthogonal planted groups: the probed cell is
+    the query's own group's cell, so every neighbor returned shares the
+    query's group — and the scored row count is cell-local."""
+    import pandas as pd
+
+    from pie_spark.ann.pq import pq_ivf_topk
+
+    rows = []
+    for g in range(3):
+        base = [0.0] * 12
+        base[g * 4] = 1.0
+        for j in range(30):
+            v = list(base)
+            v[g * 4 + 1] = 0.05 + (j % 7) * 0.01
+            rows.append((f"g{g}-{j}", v, g))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    q = df.filter(F.col("vec_id").isin("g0-0", "g1-0", "g2-0")).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_ivf_topk(df, q, k=10, n_cells=6, nprobe=1, m=3, ksub=6, iters=3).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["vec_id"].split("-")[0] == r["q_id"].split("-")[0]
