@@ -1917,6 +1917,50 @@ SELECT doc_id, doc_len, pct_ppm FROM w JOIN ranks ON w.doc_len = ranks.v
 """
 
 
+HDR_P = 6
+HDR_QS = [500000, 900000, 990000]
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: mergeable log-histogram quantile sketch (r06 operator, born
+    folded — registry at the 50 cap): document-length quantiles read
+    from a ≤ 4k-bucket integer sketch instead of a global sort —
+    Spark's approx_percentile is engine-specific (the
+    approx_count_distinct problem), this one is pure BIGINT bit
+    arithmetic and DuckDB replays it verbatim."""
+    from pie_spark.eval.quantiles import hdr_quantiles, hdr_sketch
+
+    vals = _t(spark, sf_dir, "documents").select(
+        F.length("text").cast("long").alias("v")
+    )
+    return hdr_quantiles(hdr_sketch(vals, "v", p=HDR_P), HDR_QS)
+
+
+SQL_HDR_QUANTILES = f"""
+WITH vals AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+bk AS (
+  SELECT CASE WHEN v <= 0 THEN 0 ELSE (sh << {HDR_P + 1}) + (v >> sh) END AS bucket
+  FROM (SELECT v, greatest(length(bin(v)) - 1 - {HDR_P}, 0) AS sh FROM vals)
+),
+sk AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+skb AS (SELECT bucket, n, bucket >> {HDR_P + 1} AS sh,
+               bucket - ((bucket >> {HDR_P + 1}) << {HDR_P + 1}) AS rem FROM sk),
+skl AS (SELECT bucket, n,
+               CAST(CASE WHEN sh = 0 THEN rem ELSE rem << sh END AS BIGINT) AS lo,
+               CAST(CASE WHEN sh = 0 THEN rem ELSE ((rem + 1) << sh) - 1 END AS BIGINT) AS hi
+        FROM skb),
+cum AS (SELECT bucket, lo, hi, n, sum(n) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM skl),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM skl),
+ranks AS (SELECT q_ppm, CAST((q_ppm * total + 999999) // 1000000 AS BIGINT) AS rank
+          FROM (SELECT unnest([{", ".join(str(q) for q in HDR_QS)}]::BIGINT[]) AS q_ppm), tot),
+hit AS (SELECT q_ppm, rank, lo, hi,
+               row_number() OVER (PARTITION BY q_ppm ORDER BY bucket) AS rn
+        FROM cum JOIN ranks ON cum.cum >= ranks.rank)
+SELECT q_ppm, rank, lo, hi FROM hit WHERE rn = 1
+"""
+
+
 WSAMPLE_K = 50
 
 

@@ -177,6 +177,9 @@ def _folded_queries():
         # the plain-Python PQ replay (pinned bit-equal to train_pq in
         # test_ann.py), encode + ADC replayed in pure BIGINT SQL
         ("pq_topk", q.q_pq_topk, q._pq_topk_sql),
+        # r06, born folded: mergeable log-histogram quantile sketch —
+        # pure BIGINT bit arithmetic, DuckDB replays it verbatim
+        ("hdr_quantiles", q.q_hdr_quantiles, q.SQL_HDR_QUANTILES),
     ]
 
 

@@ -1,0 +1,97 @@
+"""X26 mergeable log-histogram quantile sketch: bounds contain the
+exact quantile (the sketch's contract), exact multiset merge, bucket
+monotonicity fuzz, bounded sketch size, scale-safe plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pie_spark.eval.quantiles import (
+    hdr_bucket,
+    hdr_quantiles,
+    hdr_sketch,
+    merge_sketches,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.length("text").cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_quantile_bounds_contain_exact(spark, vals):
+    """For every requested q, the returned [lo, hi] contains the exact
+    rank-ceil(q·N) order statistic, and the relative width is ≤ 2^−p."""
+    qs = [10000, 250000, 500000, 750000, 900000, 990000, 1000000]
+    got = {r["q_ppm"]: r for r in hdr_quantiles(hdr_sketch(vals, "v", p=6), qs).collect()}
+    arr = sorted(r["v"] for r in vals.collect())
+    n = len(arr)
+    assert set(got) == set(qs)
+    for q in qs:
+        rank = (q * n + 999999) // 1_000_000
+        exact = arr[rank - 1]
+        r = got[q]
+        assert r["rank"] == rank
+        assert r["lo"] <= exact <= r["hi"], (q, exact, r["lo"], r["hi"])
+        if r["lo"] > 0:
+            assert (r["hi"] - r["lo"]) / r["lo"] <= 2**-6 + 1e-12
+
+
+def test_merge_is_exact(spark, vals):
+    """sketch(A) ⊕ sketch(B) ≡ sketch(A ⊎ B) bucket-for-bucket — the
+    per-partition / per-epoch rollup property."""
+    half = vals.limit(4000).localCheckpoint(eager=True)
+    rest = vals.exceptAll(half)
+    merged = merge_sketches(
+        hdr_sketch(half, "v", p=6), hdr_sketch(rest, "v", p=6)
+    )
+    whole = hdr_sketch(vals, "v", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bucket_monotone_and_bounds_fuzz(spark):
+    """Adversarial values (0, 1, powers of two ±1, wide magnitudes):
+    bucket id is monotone in v and every v lies inside its own
+    bucket's [lo, hi]."""
+    vs = sorted(
+        {0, 1, 2, 3}
+        | {2**k + d for k in range(1, 62) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vs], "v: long")
+    out = (
+        df.select("v", hdr_bucket(F.col("v"), p=6).alias("bucket"))
+        .join(
+            hdr_sketch(df, "v", p=6).select("bucket", "lo", "hi"),
+            "bucket",
+        )
+        .orderBy("v")
+        .collect()
+    )
+    assert [r["v"] for r in out] == vs
+    prev = -1
+    for r in out:
+        assert r["bucket"] >= prev, f"bucket not monotone at v={r['v']}"
+        prev = r["bucket"]
+        assert r["lo"] <= r["v"] <= r["hi"], (r["v"], r["lo"], r["hi"])
+
+
+def test_sketch_size_bounded_and_plan(spark):
+    """The sketch row count is bounded by the bucket-id domain (not the
+    input), and the plan is one partial-aggregable HashAggregate pair —
+    no EvalPython, no join, no sort on the corpus."""
+    big = spark.range(0, 200_000).select(
+        (F.xxhash64("id") % 1_000_000_000).alias("raw")
+    ).select(F.abs("raw").alias("v"))
+    sk = hdr_sketch(big, "v", p=6)
+    assert sk.count() <= (64 - 6) * 2**6 + 2**7
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
