@@ -89,3 +89,57 @@ def combined_rollup(
         F.min("min_ts_us").alias("min_ts_us"),
         F.max("max_ts_us").alias("max_ts_us"),
     )
+
+
+def stream_hdr_sketch(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    p: int = 6,
+    max_files_per_trigger: int = 0,
+) -> None:
+    """Streaming continuous QUANTILE aggregate: per micro-batch, the
+    X26 log-histogram sketch of that batch's document lengths lands as
+    an epoch-overwrite partial (the counters.py exactly-once recipe);
+    because sketch merge is exact bucket-sum (eval/quantiles.py —
+    pinned merge(halves) ≡ sketch(whole)), the union of epoch partials
+    IS the corpus sketch, so stream ≡ batch with NO keyed state store
+    and ≤ 4k rows of state per epoch regardless of batch size. The
+    quantile read (`hdr_quantiles`) runs on `combined_hdr_sketch` at
+    any time — a standing landing zone gets always-current length
+    quantiles for the cost of a bucket-level merge."""
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger > 0:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir).select(
+        F.length("text").cast("long").alias("v")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pie_spark.eval.quantiles import hdr_sketch
+
+        hdr_sketch(batch_df, "v", p=p).write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch-{epoch_id:06d}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def combined_hdr_sketch(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Bucket-sum merge of every epoch's sketch partials — feed to
+    ``pie_spark.eval.quantiles.hdr_quantiles``."""
+    rows = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        os.path.join(output_dir, "epoch-*")
+    )
+    return rows.groupBy("bucket", "lo", "hi").agg(
+        F.sum("n").cast("long").alias("n")
+    )

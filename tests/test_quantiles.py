@@ -95,3 +95,44 @@ def test_sketch_size_bounded_and_plan(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_stream_sketch_equals_batch(spark, tmp_path):
+    """Streaming continuous quantile aggregate: 3 landed chunks drained
+    one file per micro-batch → merged epoch partials ≡ the batch sketch
+    of all documents, quantiles identical, re-drain idempotent."""
+    import os
+
+    from pie_spark.streaming.rollup import combined_hdr_sketch, stream_hdr_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    lz = str(tmp_path / "lz")
+    third = n // 3
+    chunks = [(0, third), (third, 2 * third), (2 * third, n + 1)]
+    for i, (lo, hi) in enumerate(chunks):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(lz, f"chunk-{i:03d}"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_hdr_sketch(spark, lz + "/chunk-*", out, ckpt, p=6, max_files_per_trigger=1)
+    merged = combined_hdr_sketch(spark, out)
+    batch = hdr_sketch(docs.select(F.length("text").cast("long").alias("v")), "v", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, batch.collect()))
+
+    # a bucket must span epochs for the merge to be load-bearing
+    per_epoch = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        out + "/epoch-*"
+    )
+    assert per_epoch.groupBy("bucket").count().filter("count > 1").count() > 0
+
+    qs = [500000, 990000]
+    assert sorted(map(tuple, hdr_quantiles(merged, qs).collect())) == sorted(
+        map(tuple, hdr_quantiles(batch, qs).collect())
+    )
+
+    # idempotent re-drain (AvailableNow checkpoint: no new epochs)
+    stream_hdr_sketch(spark, lz + "/chunk-*", out, ckpt, p=6, max_files_per_trigger=1)
+    again = combined_hdr_sketch(spark, out)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, batch.collect()))
