@@ -431,3 +431,46 @@ def test_pq_ivf_partial_probe_planted_recall(spark):
     assert len(out) == 30
     for r in out:
         assert r["vec_id"].split("-")[0] == r["q_id"].split("-")[0]
+
+
+def test_pq_rerank_full_shortlist_is_exact(spark):
+    """shortlist ≥ corpus ⇒ pq_rerank_topk IS the exact integer-L2
+    scan: compare against a direct exact top-k computed without PQ."""
+    from pyspark.sql import Window
+
+    from pie_spark.ann.pq import (
+        _l2,
+        _sub_rows,
+        pq_encode,
+        pq_rerank_topk,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(150)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cb = train_pq(emb, m=4, ksub=8, iters=2)
+    codes = pq_encode(emb, cb, m=4)
+    got = sorted(
+        map(
+            tuple,
+            pq_rerank_topk(emb, codes, q, cb, k=5, shortlist=1000).collect(),
+        )
+    )
+    dim = 64
+    c = _sub_rows(emb, 1, dim, "vec_id", "embedding").drop("sub")
+    qs = _sub_rows(q, 1, dim, "q_id", "q_vec", out_id="q_id", out_vec="qsv").drop("sub")
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    want = sorted(
+        map(
+            tuple,
+            c.crossJoin(F.broadcast(qs))
+            .select("q_id", "vec_id", _l2(F.col("sv"), F.col("qsv")).alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "rank", "vec_id", "dist")
+            .collect(),
+        )
+    )
+    assert got == want
