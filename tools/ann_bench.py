@@ -37,7 +37,6 @@ sys.path.insert(0, REPO)
 D = 64
 GROUPS = 512
 K = 10
-SHORTLIST = 800
 
 
 def _dir_bytes(path: str) -> int:
@@ -65,6 +64,13 @@ def main() -> None:
 
     n = int(os.environ.get("PIE_ANN_N", 200_000))
     n_queries = int(os.environ.get("PIE_ANN_Q", 8))
+    # the production tuning rule: the shortlist must cover a
+    # quantization cell's expected occupancy (ADC cannot order within
+    # a cell), so it scales with N/GROUPS — measured at 1M: shortlist
+    # 800 < cell ~1953 → recall 0.5; 2×occupancy → 1.0
+    shortlist = int(
+        os.environ.get("PIE_ANN_SHORTLIST", max(800, 2 * n // GROUPS + 200))
+    )
 
     spark = build_session("ann-bench")
     tmp = tempfile.mkdtemp(prefix="pie_ann_bench_")
@@ -130,7 +136,7 @@ def main() -> None:
 
         t0 = time.time()
         rr = pq_rerank_topk(
-            emb, codes, q, cb, k=K, shortlist=SHORTLIST
+            emb, codes, q, cb, k=K, shortlist=shortlist
         ).localCheckpoint(eager=True)
         rr.count()
         rerank_s = time.time() - t0
@@ -151,7 +157,7 @@ def main() -> None:
                     "pq_encode_sec": round(encode_s, 2),
                     "pq_adc_sec": round(adc_s, 2),
                     "adc_recall": round(recall_adc, 4),
-                    "rerank_shortlist": SHORTLIST,
+                    "rerank_shortlist": shortlist,
                     "pq_rerank_sec": round(rerank_s, 2),
                     "rerank_recall": round(recall_rr, 4),
                     "raw_parquet_bytes": raw_b,
