@@ -1961,6 +1961,51 @@ SELECT q_ppm, rank, lo, hi FROM hit WHERE rn = 1
 """
 
 
+_COMPRESS_LAST_SF_DIR: str | None = None
+
+
+def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: zlib compression-ratio curation signal (r06 operator, born
+    folded). The oracle replays zlib over the duckdb-read corpus and
+    inlines the rows as VALUES — an independent data path (duckdb read
+    + direct zlib vs Spark scan + Arrow batches + zlib), so the hash
+    checks encoding/batching/row alignment; zlib itself is the shared
+    primitive, same stance as the media codec recipe oracles."""
+    from pie_spark.text.analysis import compression_signals
+
+    global _COMPRESS_LAST_SF_DIR
+    _COMPRESS_LAST_SF_DIR = sf_dir
+    return compression_signals(_t(spark, sf_dir, "documents"))
+
+
+def _compression_signals_sql() -> str:
+    import os
+    import zlib
+
+    import duckdb
+
+    base = _COMPRESS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    path = base.rstrip("/") + "/documents.parquet"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(doc_id AS BIGINT), coalesce(text, '') "
+        f"FROM read_parquet('{path}')"
+    ).fetchall()
+    con.close()
+    vals = []
+    for did, text in rows:
+        raw = text.encode("utf-8")
+        rb, zb = len(raw), len(zlib.compress(raw, 6))
+        vals.append(f"({did}, {rb}, {zb}, {zb * 1_000_000 // max(rb, 1)})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ",\n".join(vals)
+        + ") AS t(doc_id, raw_bytes, zlib_bytes, ratio_ppm)"
+    )
+
+
 WSAMPLE_K = 50
 
 

@@ -339,3 +339,52 @@ def percentile_rank(
     return df.join(
         F.broadcast(ranks), F.col(value_col).cast("long") == F.col("__v")
     ).drop("__v")
+
+
+def compression_signals(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document (X27) — the curation signal
+    CCNet/RefinedWeb-class pipelines use beside token/quality stats: a
+    LOW ratio_ppm means the text is machine-repetitive (boilerplate,
+    keyword stuffing, generated spam — compresses away), a very HIGH
+    ratio means high-entropy non-text (base64 blobs, minified code).
+
+    (doc_id, raw_bytes, zlib_bytes, ratio_ppm) with
+    ratio_ppm = zlib_bytes·10^6 // max(raw_bytes, 1) — exact integers.
+
+    Shape: ONE ``mapInPandas`` pass (zlib is not expressible in native
+    expressions; Arrow-batched like the media codecs — never per-row
+    Python), zero shuffles, output one row per input row. Determinism:
+    zlib with a fixed ``level`` is deterministic for a given zlib
+    build — byte-stability is per-environment, not cross-platform
+    (same caveat as any compression-based signal; the folded oracle
+    replays zlib over the duckdb-read corpus IN THIS environment, so
+    it checks the Spark-side plumbing — encoding, batching, row
+    alignment — not zlib itself)."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            rb = [len(b) for b in raw]
+            zb = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": rb,
+                    "zlib_bytes": zb,
+                    "ratio_ppm": [
+                        z * 1_000_000 // max(r, 1) for r, z in zip(rb, zb)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, "doc_id long, raw_bytes long, zlib_bytes long, ratio_ppm long"
+    )

@@ -180,6 +180,10 @@ def _folded_queries():
         # r06, born folded: mergeable log-histogram quantile sketch —
         # pure BIGINT bit arithmetic, DuckDB replays it verbatim
         ("hdr_quantiles", q.q_hdr_quantiles, q.SQL_HDR_QUANTILES),
+        # r06, born folded: zlib compression-ratio signal — oracle
+        # replays zlib over the duckdb-read corpus as VALUES (checks
+        # Spark-side encoding/batching/row alignment)
+        ("compression_signals", q.q_compression_signals, q._compression_signals_sql),
     ]
 
 

@@ -136,3 +136,38 @@ def test_stream_sketch_equals_batch(spark, tmp_path):
     stream_hdr_sketch(spark, lz + "/chunk-*", out, ckpt, p=6, max_files_per_trigger=1)
     again = combined_hdr_sketch(spark, out)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, batch.collect()))
+
+
+# ------------------------------------------------- X27 compression signals
+
+
+def test_compression_signals_known_and_invariant(spark):
+    """Repetitive text compresses far below prose; high-entropy text
+    doesn't. Output is one row per doc and partitioning-invariant."""
+    import pandas as pd
+
+    from pie_spark.text.analysis import compression_signals
+
+    rows = [
+        (1, "spam " * 400),
+        (2, "The quick brown fox jumps over the lazy dog. " * 5),
+        (3, "".join(__import__("hashlib").sha256(str(i).encode()).hexdigest()
+                    for i in range(40))),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    assert len(out) == 4
+    import zlib
+
+    for did, text in rows:
+        raw = (text or "").encode()
+        assert out[did]["raw_bytes"] == len(raw)
+        assert out[did]["zlib_bytes"] == len(zlib.compress(raw, 6))
+    assert out[1]["ratio_ppm"] < 30_000          # boilerplate collapses
+    assert out[2]["ratio_ppm"] < 500_000         # prose compresses some
+    assert out[3]["ratio_ppm"] > 500_000         # high entropy doesn't
+    again = sorted(
+        map(tuple, compression_signals(df.repartition(7)).collect())
+    )
+    assert again == sorted(map(tuple, compression_signals(df).collect()))
