@@ -72,7 +72,12 @@ def main() -> None:
         os.environ.get("PIE_ANN_SHORTLIST", max(800, 2 * n // GROUPS + 200))
     )
 
-    spark = build_session("ann-bench")
+    # partition for the exact-scan stage: its rows carry BOTH micro
+    # arrays (~1 KB/row × n_queries fan-out), so tasks must stay small
+    # or the per-thread execution-memory slice exhausts (measured
+    # SparkOutOfMemoryError at 5M × 32 partitions)
+    parts = max(32, n // 20_000)
+    spark = build_session("ann-bench", shuffle_partitions=parts)
     tmp = tempfile.mkdtemp(prefix="pie_ann_bench_")
     try:
         # anchor[g][j] = ±1 from xxhash(g, j); vector = anchor + ±0.1 noise
@@ -88,7 +93,7 @@ def main() -> None:
         emb = (
             spark.range(n)
             .select(F.col("id").cast("string").alias("vec_id"), comp.alias("embedding"))
-            .repartition(32)
+            .repartition(parts)
             .localCheckpoint(eager=True)
         )
         q = emb.filter(F.col("vec_id").cast("long") < n_queries).select(
