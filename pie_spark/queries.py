@@ -4325,6 +4325,156 @@ FROM classes GROUP BY 1
 """
 
 
+WALK_LEN = 5
+WALKS_PER_NODE = 2
+_WALKS_LAST_SF_DIR: str | None = None
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: deterministic random-walk corpus (r06 operator, born folded —
+    registry at the 50 cap): DeepWalk-style walks over the symmetrized
+    co-mention graph (graph/walks.py) — the embedding-training corpus
+    generator; its ``path`` column feeds skipgram_counts unchanged.
+    The lazy oracle replays the walks in the independent plain-Python
+    implementation over the DuckDB-read edge set, inlined as VALUES
+    (the BFS/k-core/PageRank precedent)."""
+    from pie_spark.graph.walks import random_walks, symmetrize
+    from pie_spark.text.colloc import comention_edges
+
+    global _WALKS_LAST_SF_DIR
+    _WALKS_LAST_SF_DIR = sf_dir
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return random_walks(
+        symmetrize(edges), walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE
+    )
+
+
+def _random_walks_sql() -> str:
+    """Lazy oracle: plain-Python walk replay over the SAME parquet-
+    derived co-mention edge set (symmetrized in the replay), inlined
+    as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.walks import random_walks_reference
+
+    base = _WALKS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    walks = random_walks_reference(sym, WALK_LEN, WALKS_PER_NODE)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(s)}', CAST({k} AS INTEGER), '{_q(p)}')" for s, k, p in sorted(walks)
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
+
+
+TRANSE_N_NEG = 4
+TRANSE_PROBES = 3
+_TRANSE_PACK = 1 << 40
+
+
+def q_transe_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: filtered TransE negative sampling (r06 operator, born
+    folded — registry at the 50 cap): per true triple of the
+    customer/supplier→nation KG, up to 4 deterministic tail-corruption
+    negatives that provably form NO true triple (graph/negatives.py) —
+    the embedding-trainer feed. Fully relational, so the oracle
+    replays every stage verbatim in DuckDB SQL (row_number vocab,
+    generate_series probes, md5 h64, NOT EXISTS filter, min-packed
+    probe election)."""
+    from pie_spark.graph.negatives import transe_negatives
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    trip = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("IN_NATION").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey).select(
+                F.col("s_name").alias("subj"),
+                F.lit("FROM_NATION").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return transe_negatives(trip, n_neg=TRANSE_N_NEG, probes=TRANSE_PROBES)
+
+
+SQL_TRANSE_NEGATIVES = f"""
+WITH trip AS (
+  SELECT c_name AS subj, 'IN_NATION' AS pred, n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION
+  SELECT s_name, 'FROM_NATION', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ents AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM trip UNION SELECT obj FROM trip
+  )
+),
+vocab AS (
+  SELECT entity,
+         CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx
+  FROM ents
+),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+ti AS (
+  SELECT t.subj, t.pred, vo.idx AS obj_idx
+  FROM trip t JOIN vocab vo ON vo.entity = t.obj
+),
+cand AS (
+  SELECT ti.subj, ti.pred, ti.obj_idx, k.slot, j.probe,
+         ('0x' || substr(md5(ti.subj || '#' || ti.pred || '#' ||
+              CAST(ti.obj_idx AS VARCHAR) || '#' || CAST(k.slot AS VARCHAR) ||
+              '#' || CAST(j.probe AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+           % (SELECT n FROM nv) AS cand_idx
+  FROM ti, generate_series(1, {TRANSE_N_NEG}) AS k(slot),
+       generate_series(0, {TRANSE_PROBES - 1}) AS j(probe)
+),
+surv AS (
+  SELECT * FROM cand c
+  WHERE c.cand_idx <> c.obj_idx
+    AND NOT EXISTS (SELECT 1 FROM ti t
+                    WHERE t.subj = c.subj AND t.pred = c.pred
+                      AND t.obj_idx = c.cand_idx)
+),
+el AS (
+  SELECT subj, pred, obj_idx, slot,
+         min(probe * {_TRANSE_PACK} + cand_idx) AS enc
+  FROM surv GROUP BY 1, 2, 3, 4
+)
+SELECT el.subj, el.pred, vo.entity AS obj, CAST(el.slot AS BIGINT) AS slot,
+       CAST(el.enc // {_TRANSE_PACK} AS BIGINT) AS probe,
+       vn.entity AS neg_obj
+FROM el
+JOIN vocab vo ON vo.idx = el.obj_idx
+JOIN vocab vn ON vn.idx = el.enc % {_TRANSE_PACK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

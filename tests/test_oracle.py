@@ -184,6 +184,13 @@ def _folded_queries():
         # replays zlib over the duckdb-read corpus as VALUES (checks
         # Spark-side encoding/batching/row alignment)
         ("compression_signals", q.q_compression_signals, q._compression_signals_sql),
+        # r06, born folded: deterministic random-walk corpus (DeepWalk
+        # feeder) — oracle = independent plain-Python walk replay over
+        # the DuckDB-read co-mention edges as VALUES
+        ("random_walks", q.q_random_walks, q._random_walks_sql),
+        # r06, born folded: filtered TransE negative sampling — fully
+        # relational, every stage replayed verbatim in DuckDB SQL
+        ("transe_negatives", q.q_transe_negatives, q.SQL_TRANSE_NEGATIVES),
     ]
 
 

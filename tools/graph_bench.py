@@ -109,6 +109,30 @@ def main() -> None:
         nj_s = time.time() - t0
         drops = dropped_middle_stats(ce, max_middle_degree=64).first()
 
+        from pie_spark.graph.negatives import transe_negatives
+        from pie_spark.graph.walks import random_walks, symmetrize
+
+        # walk corpus: V walks of 5 hops over the symmetrized graph —
+        # the hub is a skew stress (≈ hub_deg/v of all walk mass flows
+        # through it every hop; AQE skew-split covers the probe join)
+        t0 = time.time()
+        walks = random_walks(symmetrize(ce), walk_len=5, walks_per_node=1)
+        walk_n = walks.count()
+        walk_s = time.time() - t0
+
+        # filtered negatives over edge-derived triples: V-sized vocab
+        # (one V-row window rank), E·n_neg·probes candidate fan-out,
+        # one triple-sized anti-join
+        t0 = time.time()
+        trip = ce.select(
+            F.col("src").alias("subj"),
+            F.lit("LINKS").alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+        neg = transe_negatives(trip, n_neg=2, probes=2)
+        neg_n = neg.count()
+        neg_s = time.time() - t0
+
         print(
             json.dumps(
                 {
@@ -132,6 +156,10 @@ def main() -> None:
                     "jaccard_pairs": nj_n,
                     "jaccard_dropped_middles": drops.n_dropped_middles,
                     "jaccard_dropped_mass": drops.dropped_degree_mass,
+                    "walks_sec": round(walk_s, 2),
+                    "walks_rows": walk_n,
+                    "negatives_sec": round(neg_s, 2),
+                    "negatives_rows": neg_n,
                 }
             )
         )
