@@ -1,4 +1,4 @@
-"""Filtered negative sampling for KG-embedding training (G10).
+"""Filtered negative sampling for KG-embedding training (G11).
 
 TransE/DistMult-family embedding trainers consume, per true triple
 (subj, pred, obj), a handful of corrupted triples whose tail is

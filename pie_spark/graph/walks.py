@@ -1,4 +1,4 @@
-"""Deterministic random-walk corpus over the knowledge graph (G9; KG
+"""Deterministic random-walk corpus over the knowledge graph (G10; KG
 analytics → embedding training data).
 
 DeepWalk/node2vec-style graph embeddings train word2vec on a corpus of

@@ -4331,7 +4331,7 @@ _WALKS_LAST_SF_DIR: str | None = None
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9: deterministic random-walk corpus (r06 operator, born folded —
+    """G10: deterministic random-walk corpus (r06 operator, born folded —
     registry at the 50 cap): DeepWalk-style walks over the symmetrized
     co-mention graph (graph/walks.py) — the embedding-training corpus
     generator; its ``path`` column feeds skipgram_counts unchanged.
@@ -4391,7 +4391,7 @@ _TRANSE_PACK = 1 << 40
 
 
 def q_transe_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10: filtered TransE negative sampling (r06 operator, born
+    """G11: filtered TransE negative sampling (r06 operator, born
     folded — registry at the 50 cap): per true triple of the
     customer/supplier→nation KG, up to 4 deterministic tail-corruption
     negatives that provably form NO true triple (graph/negatives.py) —
