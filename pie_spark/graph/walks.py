@@ -176,6 +176,302 @@ def random_walks(
     return frontier.select("start", "walk_no", "path")
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_shared: int = 4,
+    w_out: int = 2,
+    max_bias_degree: int = 1024,
+) -> DataFrame:
+    """(start, walk_no, path): second-order (node2vec-style) biased
+    walks. At hop t ≥ 2 each neighbor x of ``cur`` is weighted by its
+    relation to the PREVIOUS node: ``w_return`` if x == prev (the 1/p
+    return bias), ``w_shared`` if x ∈ N(prev) (distance-1, BFS-ish),
+    ``w_out`` otherwise (distance-2, DFS-ish, the 1/q bias) — INTEGER
+    weights, caller-chosen, so the pick is exact arithmetic: draw
+    h = h64(start#walk_no#t#cur#prev) mod Σweights and walk the
+    (return, shared, out) class ranges in that fixed order, taking the
+    ordinal-th neighbor of the chosen class in adjacency rank order.
+    Hop 1 (no prev yet) is the first-order uniform pick.
+
+    The second-order fan-out is deg(cur) candidate rows per walk per
+    hop — at a 100k-degree celebrity hub that is the quadratic trap
+    every production node2vec hits (precomputed alias tables there
+    cost E·avg_deg memory). Nodes with outdeg > ``max_bias_degree``
+    degrade to the FIRST-ORDER uniform pick instead — part of the
+    operator's semantics, replayed identically by the reference (the
+    hub-middle-guard precedent from graph/similarity.py): bias toward
+    "neighbors shared with prev" is statistically meaningless at a
+    node adjacent to everything anyway.
+
+    Scale shape per hop: split frontier on the broadcast-joined degree
+    (guarded walks take the cheap first-order path); biased walks fan
+    out via ONE adjacency join, flag shared neighbors via ONE left
+    join against the edge set on (prev, x), collapse to per-class
+    counts with an ALGEBRAIC agg (map-side combine eats the fan-out
+    before the shuffle), and elect the ordinal-th class member with
+    one window rank — the honest second-order cost, bounded by
+    frontier·max_bias_degree rows.
+    """
+    edges = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).cast("long").alias("idx"),
+            F.count("*").over(Window.partitionBy("src")).cast("long").alias("outdeg"),
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        adj.select(F.col("src").alias("deg_src"), "outdeg").distinct()
+        .localCheckpoint(eager=True)
+    )
+    hop = adj.select(
+        F.col("src").alias("a_src"),
+        F.col("dst").alias("a_dst"),
+        F.col("idx").alias("a_idx"),
+    )
+    eset = edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk_no"),
+        F.col("node").alias("cur"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("node").alias("path"),
+    )
+
+    def _first_order(fr: DataFrame, t: int) -> DataFrame:
+        picked = fr.join(deg, fr.cur == F.col("deg_src"), "left").select(
+            "start",
+            "walk_no",
+            "cur",
+            "path",
+            F.when(
+                F.col("outdeg").isNotNull(), F.pmod(_step_hash(t), F.col("outdeg"))
+            ).alias("pick"),
+        )
+        return picked.join(
+            hop, (picked.cur == F.col("a_src")) & (picked.pick == F.col("a_idx")), "left"
+        ).select(
+            "start",
+            "walk_no",
+            F.coalesce(F.col("a_dst"), F.col("cur")).alias("cur"),
+            F.col("cur").alias("prev"),
+            F.when(
+                F.col("a_dst").isNotNull(), F.concat_ws(" ", F.col("path"), F.col("a_dst"))
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+
+    frontier = _first_order(frontier, 1)
+    for t in range(2, walk_len):
+        fr = frontier.join(deg, frontier.cur == F.col("deg_src"), "left")
+        plain = fr.filter(
+            F.col("outdeg").isNull() | (F.col("outdeg") > max_bias_degree)
+        ).select("start", "walk_no", "cur", "prev", "path")
+        biased = fr.filter(
+            F.col("outdeg").isNotNull() & (F.col("outdeg") <= max_bias_degree)
+        ).select("start", "walk_no", "cur", "prev", "path")
+
+        cand = (
+            biased.join(hop, biased.cur == F.col("a_src"))
+            .join(
+                eset,
+                (F.col("prev") == F.col("e_src")) & (F.col("a_dst") == F.col("e_dst")),
+                "left",
+            )
+            .select(
+                "start",
+                "walk_no",
+                "cur",
+                "prev",
+                "path",
+                F.col("a_dst").alias("x"),
+                F.col("a_idx").alias("x_idx"),
+                # class 0 = return, 1 = shared-with-prev, 2 = out
+                F.when(F.col("a_dst") == F.col("prev"), F.lit(0))
+                .when(F.col("e_src").isNotNull(), F.lit(1))
+                .otherwise(F.lit(2))
+                .alias("cls"),
+            )
+        )
+        wt = (
+            F.when(F.col("cls") == 0, F.lit(w_return))
+            .when(F.col("cls") == 1, F.lit(w_shared))
+            .otherwise(F.lit(w_out))
+            .cast("long")
+        )
+        counts = cand.groupBy("start", "walk_no", "cur").agg(
+            F.sum(F.when(F.col("cls") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(F.col("cls") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("cls") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        )
+        # prev is functionally determined by (start, walk_no, cur) at
+        # this hop — it rides back in via the distinct-projection join
+        chosen = counts.alias("co").join(
+            cand.select("start", "walk_no", "cur", "prev").distinct().alias("pv"),
+            ["start", "walk_no", "cur"],
+        ).select(
+            "start",
+            "walk_no",
+            "cur",
+            "prev",
+            F.pmod(
+                h64(
+                    F.concat_ws(
+                        "#",
+                        F.col("start"),
+                        F.col("walk_no").cast("string"),
+                        F.lit(str(t)),
+                        F.col("cur"),
+                        F.col("prev"),
+                    )
+                ),
+                F.lit(w_return) * F.col("n0")
+                + F.lit(w_shared) * F.col("n1")
+                + F.lit(w_out) * F.col("n2"),
+            ).alias("h"),
+            "n0",
+            "n1",
+            "n2",
+        ).select(
+            "start",
+            "walk_no",
+            "cur",
+            "prev",
+            F.when(F.col("h") < F.lit(w_return) * F.col("n0"), F.lit(0))
+            .when(
+                F.col("h")
+                < F.lit(w_return) * F.col("n0") + F.lit(w_shared) * F.col("n1"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(2))
+            .alias("pick_cls"),
+            F.when(
+                F.col("h") < F.lit(w_return) * F.col("n0"),
+                F.expr(f"h DIV {w_return}"),
+            )
+            .when(
+                F.col("h")
+                < F.lit(w_return) * F.col("n0") + F.lit(w_shared) * F.col("n1"),
+                F.expr(f"(h - {w_return} * n0) DIV {w_shared}"),
+            )
+            .otherwise(
+                F.expr(f"(h - {w_return} * n0 - {w_shared} * n1) DIV {w_out}")
+            )
+            .cast("long")
+            .alias("ordinal"),
+        )
+        ranked = cand.withColumn(
+            "rn",
+            (
+                F.row_number().over(
+                    Window.partitionBy("start", "walk_no", "cur", "cls").orderBy(
+                        "x_idx"
+                    )
+                )
+                - 1
+            ).cast("long"),
+        )
+        stepped = ranked.join(
+            chosen.select(
+                F.col("start").alias("s2"),
+                F.col("walk_no").alias("w2"),
+                F.col("cur").alias("c2"),
+                "pick_cls",
+                "ordinal",
+            ),
+            (F.col("start") == F.col("s2"))
+            & (F.col("walk_no") == F.col("w2"))
+            & (F.col("cur") == F.col("c2"))
+            & (F.col("cls") == F.col("pick_cls"))
+            & (F.col("rn") == F.col("ordinal")),
+        ).select(
+            "start",
+            "walk_no",
+            F.col("x").alias("cur"),
+            F.col("cur").alias("prev"),
+            F.concat_ws(" ", F.col("path"), F.col("x")).alias("path"),
+        )
+        frontier = _first_order(
+            plain.select("start", "walk_no", "cur", "path"), t
+        ).unionByName(stepped)
+        if t % CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+    return frontier.select("start", "walk_no", "path")
+
+
+def node2vec_walks_reference(
+    edges: list[tuple[str, str]],
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_shared: int = 4,
+    w_out: int = 2,
+    max_bias_degree: int = 1024,
+) -> list[tuple[str, int, str]]:
+    """Plain-Python replay of ``node2vec_walks`` — independent
+    implementation; parity tests pin the two bit-equal."""
+    adj: dict[str, set[str]] = defaultdict(set)
+    nodes: set[str] = set()
+    for s, d in {(a, b) for a, b in edges}:
+        adj[s].add(d)
+        nodes.add(s)
+        nodes.add(d)
+    nbrs = {s: sorted(ds) for s, ds in adj.items()}
+    out: list[tuple[str, int, str]] = []
+    for start in sorted(nodes):
+        for walk_no in range(walks_per_node):
+            cur, prev, path = start, None, [start]
+            for t in range(1, walk_len):
+                ns = nbrs.get(cur)
+                if not ns:
+                    continue
+                if prev is None or len(ns) > max_bias_degree:
+                    pick = _h64_py(f"{start}#{walk_no}#{t}#{cur}") % len(ns)
+                    nxt = ns[pick]
+                else:
+                    classed = [
+                        0 if x == prev else (1 if x in adj.get(prev, ())
+                                             else 2)
+                        for x in ns
+                    ]
+                    weights = {0: w_return, 1: w_shared, 2: w_out}
+                    total = sum(weights[c] for c in classed)
+                    h = _h64_py(f"{start}#{walk_no}#{t}#{cur}#{prev}") % total
+                    n = [classed.count(0), classed.count(1), classed.count(2)]
+                    if h < w_return * n[0]:
+                        cls, ordinal = 0, h // w_return
+                    elif h < w_return * n[0] + w_shared * n[1]:
+                        cls, ordinal = 1, (h - w_return * n[0]) // w_shared
+                    else:
+                        cls, ordinal = (
+                            2,
+                            (h - w_return * n[0] - w_shared * n[1]) // w_out,
+                        )
+                    nxt = [x for x, c in zip(ns, classed) if c == cls][ordinal]
+                prev, cur = cur, nxt
+                path.append(cur)
+            out.append((start, walk_no, " ".join(path)))
+    return out
+
+
 def _h64_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 

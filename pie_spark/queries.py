@@ -4385,6 +4385,73 @@ def _random_walks_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
 
 
+N2V_WALK_LEN = 5
+N2V_MAX_BIAS_DEG = 8  # below the fixture max degree → the guard BITES
+                      # on some hops, so the oracle hash covers both
+                      # the biased pick and the degradation rule
+
+
+def q_node2vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10b: second-order (node2vec) biased walk corpus (r06 operator,
+    born folded — registry at the 50 cap): integer p/q-weighted walks
+    over the symmetrized co-mention graph (graph/walks.py). The bias
+    cap is set BELOW the fixture max degree so the hub degradation
+    rule is inside the hash check, the neighbor_jaccard guard
+    precedent. Lazy VALUES oracle from the independent Python replay."""
+    from pie_spark.graph.walks import node2vec_walks, symmetrize
+    from pie_spark.text.colloc import comention_edges
+
+    global _WALKS_LAST_SF_DIR
+    _WALKS_LAST_SF_DIR = sf_dir
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return node2vec_walks(
+        symmetrize(edges),
+        walk_len=N2V_WALK_LEN,
+        walks_per_node=WALKS_PER_NODE,
+        max_bias_degree=N2V_MAX_BIAS_DEG,
+    )
+
+
+def _node2vec_corpus_sql() -> str:
+    """Lazy oracle: plain-Python node2vec replay over the DuckDB-read
+    co-mention edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.walks import node2vec_walks_reference
+
+    base = _WALKS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    walks = node2vec_walks_reference(
+        sym,
+        N2V_WALK_LEN,
+        WALKS_PER_NODE,
+        max_bias_degree=N2V_MAX_BIAS_DEG,
+    )
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(s)}', CAST({k} AS INTEGER), '{_q(p)}')" for s, k, p in sorted(walks)
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
+
+
 TRANSE_N_NEG = 4
 TRANSE_PROBES = 3
 _TRANSE_PACK = 1 << 40

@@ -191,6 +191,10 @@ def _folded_queries():
         # r06, born folded: filtered TransE negative sampling — fully
         # relational, every stage replayed verbatim in DuckDB SQL
         ("transe_negatives", q.q_transe_negatives, q.SQL_TRANSE_NEGATIVES),
+        # r06, born folded: second-order node2vec walks — bias cap set
+        # below the fixture max degree so the hash covers the biased
+        # pick AND the hub degradation rule; Python replay as VALUES
+        ("node2vec_corpus", q.q_node2vec_corpus, q._node2vec_corpus_sql),
     ]
 
 

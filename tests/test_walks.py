@@ -161,3 +161,55 @@ def test_negatives_dense_graph_drops_slots_deterministically(spark):
     ref = sorted(transe_negatives_reference(trip, 4, 2))
     assert got == ref
     assert len(got) < len(trip) * 4  # some slots provably dropped
+
+
+# ------------------------------------------------------------- node2vec
+
+
+def test_node2vec_match_reference_fuzz(spark):
+    from pie_spark.graph.walks import node2vec_walks, node2vec_walks_reference
+
+    rng = random.Random(60608)
+    for _ in range(2):
+        edges = _rand_edges(rng, 11, 32)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(
+            tuple(r)
+            for r in node2vec_walks(df, walk_len=6, walks_per_node=2).collect()
+        )
+        assert got == sorted(node2vec_walks_reference(edges, 6, 2))
+
+
+def test_node2vec_guard_degrades_to_first_order(spark):
+    # max_bias_degree=0 forces the uniform pick at EVERY hop — the
+    # result must equal the first-order random_walks exactly
+    from pie_spark.graph.walks import node2vec_walks, random_walks
+
+    edges = _rand_edges(random.Random(13), 9, 20)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    n2v = sorted(
+        tuple(r)
+        for r in node2vec_walks(df, 5, 2, max_bias_degree=0).collect()
+    )
+    fo = sorted(tuple(r) for r in random_walks(df, 5, 2).collect())
+    assert n2v == fo
+
+
+def test_node2vec_partitioning_invariant_and_guarded_hub(spark):
+    from pie_spark.graph.walks import node2vec_walks, node2vec_walks_reference
+
+    star = (
+        [("hub", f"s{i}") for i in range(6)]
+        + [(f"s{i}", "hub") for i in range(6)]
+        + [("s0", "s1"), ("s1", "s2"), ("s2", "s0")]
+    )
+    df = spark.createDataFrame(star, ["src", "dst"])
+    a = sorted(
+        tuple(r)
+        for r in node2vec_walks(df.repartition(1), 5, 1, max_bias_degree=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in node2vec_walks(df.repartition(6), 5, 1, max_bias_degree=4).collect()
+    )
+    assert a == b == sorted(node2vec_walks_reference(star, 5, 1, max_bias_degree=4))

@@ -120,6 +120,19 @@ def main() -> None:
         walk_n = walks.count()
         walk_s = time.time() - t0
 
+        # second-order node2vec walks: the hub (deg ≫ cap) degrades to
+        # the first-order pick — the bias fan-out stays bounded by
+        # frontier·max_bias_degree while background nodes get the full
+        # p/q-weighted choice
+        from pie_spark.graph.walks import node2vec_walks
+
+        t0 = time.time()
+        n2v = node2vec_walks(
+            symmetrize(ce), walk_len=5, walks_per_node=1, max_bias_degree=64
+        )
+        n2v_n = n2v.count()
+        n2v_s = time.time() - t0
+
         # filtered negatives over edge-derived triples: V-sized vocab
         # (one V-row window rank), E·n_neg·probes candidate fan-out,
         # one triple-sized anti-join
@@ -158,6 +171,8 @@ def main() -> None:
                     "jaccard_dropped_mass": drops.dropped_degree_mass,
                     "walks_sec": round(walk_s, 2),
                     "walks_rows": walk_n,
+                    "node2vec_sec": round(n2v_s, 2),
+                    "node2vec_rows": n2v_n,
                     "negatives_sec": round(neg_s, 2),
                     "negatives_rows": neg_n,
                 }
