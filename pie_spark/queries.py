@@ -4385,6 +4385,64 @@ def _random_walks_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
 
 
+def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: weighted shortest paths (r06 operator, born folded —
+    registry at the 50 cap): association distance over the co-mention
+    graph weighted by rarity cost (10^6 DIV pair_docs — rare
+    co-occurrences are strong/cheap edges), sources = BFS_SOURCES
+    (graph/sssp.py). The lazy oracle replays it with an independent
+    Python DIJKSTRA over the DuckDB-read weighted edges — a different
+    algorithm, so the hash checks the relaxation fixpoint itself."""
+    from pie_spark.graph.sssp import sssp_distances
+    from pie_spark.text.colloc import cooccurrence_counts, doc_term_incidence
+
+    global _BFS_LAST_SF_DIR
+    _BFS_LAST_SF_DIR = sf_dir
+    w_edges = (
+        cooccurrence_counts(doc_term_incidence(_tp(spark, sf_dir, "documents")))
+        .filter(F.col("pair_docs") >= COMENTION_MIN_PAIR_DOCS)
+        .select(
+            F.col("w1").alias("src"),
+            F.col("w2").alias("dst"),
+            F.expr("1000000 DIV pair_docs").cast("long").alias("w"),
+        )
+    )
+    return sssp_distances(w_edges, BFS_SOURCES)
+
+
+def _sssp_distances_sql() -> str:
+    """Lazy oracle: independent Python Dijkstra over the SAME parquet-
+    derived weighted edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.sssp import sssp_reference
+
+    base = _BFS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2, CAST(1000000 // pair_docs AS BIGINT)
+        FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    dist = sssp_reference(edges, BFS_SOURCES)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({d} AS BIGINT))" for n, d in sorted(dist.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, dist)"
+
+
 N2V_WALK_LEN = 5
 N2V_MAX_BIAS_DEG = 8  # below the fixture max degree → the guard BITES
                       # on some hops, so the oracle hash covers both

@@ -195,6 +195,10 @@ def _folded_queries():
         # below the fixture max degree so the hash covers the biased
         # pick AND the hub degradation rule; Python replay as VALUES
         ("node2vec_corpus", q.q_node2vec_corpus, q._node2vec_corpus_sql),
+        # r06, born folded: weighted shortest paths — oracle = an
+        # independent Python DIJKSTRA (different algorithm from the
+        # Spark Bellman-Ford relaxation) over DuckDB-read edges
+        ("sssp_distances", q.q_sssp_distances, q._sssp_distances_sql),
     ]
 
 

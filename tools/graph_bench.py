@@ -120,6 +120,19 @@ def main() -> None:
         walk_n = walks.count()
         walk_s = time.time() - t0
 
+        # weighted SSSP from the hub: hash-derived integer weights 1..9;
+        # worst-case first frontier (hub_deg nodes), then min-relaxation
+        # rounds until the weighted diameter settles
+        from pie_spark.graph.sssp import sssp_distances
+
+        t0 = time.time()
+        wed = ce.select(
+            "src", "dst", (F.pmod(F.xxhash64("src", "dst"), F.lit(9)) + 1).alias("w")
+        )
+        ss = sssp_distances(wed, ["HUB"])
+        ss_n = ss.count()
+        ss_s = time.time() - t0
+
         # second-order node2vec walks: the hub (deg ≫ cap) degrades to
         # the first-order pick — the bias fan-out stays bounded by
         # frontier·max_bias_degree while background nodes get the full
@@ -173,6 +186,8 @@ def main() -> None:
                     "walks_rows": walk_n,
                     "node2vec_sec": round(n2v_s, 2),
                     "node2vec_rows": n2v_n,
+                    "sssp_sec": round(ss_s, 2),
+                    "sssp_reached": ss_n,
                     "negatives_sec": round(neg_s, 2),
                     "negatives_rows": neg_n,
                 }
