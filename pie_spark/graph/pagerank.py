@@ -129,6 +129,144 @@ def pagerank(edges: DataFrame, iters: int = 10, scale: int = SCALE) -> DataFrame
     return ranks.select("node", "rank_ppb")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    iters: int = 10,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(node, rank_ppb): topic-sensitive (personalized) PageRank — the
+    teleport mass (1−d) and the dangling mass land ONLY on ``seeds``
+    (uniformly), so rank measures proximity to the seed set: the
+    entity-centric relevance score for linker priors around a known
+    person cluster and for seed-expansion ("what else belongs to this
+    identity").
+
+    Same exact-integer recipe as :func:`pagerank` with one change —
+    per-seed base = ((D_DEN−D_NUM)·n·scale) div (D_DEN·|S|)·D_DEN kept
+    under the shared final div:
+
+        new_rank(v) = (base(v) + 85·(inflow(v) + dang(v))) div 100
+        base(v)  = (15·n·scale) div |S|   if v ∈ S else 0
+        dang(v)  = dangling_mass div |S|  if v ∈ S else 0
+
+    Exactness envelope is TIGHTER than uniform PageRank: mass
+    concentrates on seeds, so a seed's pre-div term approaches
+    100·n·scale — ppb scale covers ~10^7 nodes; pass scale=10^3 beyond
+    (same determinism, coarser mass units). Seeds absent from the
+    graph are ignored; raises ValueError if none remain.
+
+    Oracle strategy: ``personalized_pagerank_reference`` plain-Python
+    replay, pinned bit-equal in tests; folded driver row replays it
+    over the DuckDB-read co-mention edges as VALUES.
+    """
+    edges = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    seed_set = sorted(set(str(s) for s in seeds))
+    present = {
+        r.node
+        for r in nodes.filter(F.col("node").isin(seed_set)).collect()
+    }  # bounded: ≤ |seeds| rows
+    if not present:
+        raise ValueError("personalized_pagerank: no seed present in the graph")
+    n_seeds = len(present)
+    ranks = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+            F.col("node").isin(sorted(present)).alias("is_seed"),
+            F.lit(scale).cast("long").alias("rank_ppb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = ranks.count()  # bounded: one long
+    base_seed = ((D_DEN - D_NUM) * n_nodes * scale) // n_seeds
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        dang = (
+            ranks.filter(F.col("outdeg") == 0)
+            .agg(F.coalesce(F.sum("rank_ppb"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        share_seed = int(dang) // n_seeds
+        inflow = (
+            edges.join(
+                ranks.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    F.expr("rank_ppb div outdeg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").cast("long").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(inflow, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                "is_seed",
+                F.expr(
+                    f"(CASE WHEN is_seed THEN CAST({base_seed} AS BIGINT)"
+                    f" ELSE CAST(0 AS BIGINT) END"
+                    f" + {D_NUM} * (coalesce(inflow, 0)"
+                    f" + CASE WHEN is_seed THEN {share_seed} ELSE 0 END))"
+                    f" div {D_DEN}"
+                ).alias("rank_ppb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_ppb")
+
+
+def personalized_pagerank_reference(
+    edge_list: list[tuple[str, str]],
+    seeds: list[str],
+    iters: int = 10,
+    scale: int = SCALE,
+) -> dict[str, int]:
+    """Independent plain-Python replay of ``personalized_pagerank``."""
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    outdeg = {n: 0 for n in nodes}
+    for s, _ in edge_list:
+        outdeg[s] += 1
+    present = sorted(set(str(s) for s in seeds) & set(nodes))
+    if not present:
+        raise ValueError("personalized_pagerank: no seed present in the graph")
+    n_seeds = len(present)
+    seed = set(present)
+    ranks = {n: scale for n in nodes}
+    n_nodes = len(nodes)
+    base_seed = ((D_DEN - D_NUM) * n_nodes * scale) // n_seeds
+    for _ in range(iters):
+        dang = sum(r for n, r in ranks.items() if outdeg[n] == 0)
+        share_seed = dang // n_seeds
+        inflow = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            inflow[d] += ranks[s] // outdeg[s]
+        ranks = {
+            n: (
+                (base_seed if n in seed else 0)
+                + D_NUM * (inflow[n] + (share_seed if n in seed else 0))
+            )
+            // D_DEN
+            for n in nodes
+        }
+    return ranks
+
+
 def pagerank_reference(
     edge_list: list[tuple[str, str]], iters: int = 10, scale: int = SCALE
 ) -> dict[str, int]:

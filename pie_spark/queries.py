@@ -4385,6 +4385,63 @@ def _random_walks_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
 
 
+PPR_ITERS = 8
+
+
+def q_ppr_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4b: personalized PageRank (r06 operator, born folded — registry
+    at the 50 cap): seed-teleport proximity scores around BFS_SOURCES
+    on the symmetrized co-mention graph (graph/pagerank.py) — the
+    entity-centric relevance score for linker priors and seed
+    expansion. Lazy VALUES oracle from the independent Python replay
+    over the DuckDB-read edges."""
+    from pie_spark.graph.pagerank import personalized_pagerank
+    from pie_spark.text.colloc import comention_edges
+
+    global _BFS_LAST_SF_DIR
+    _BFS_LAST_SF_DIR = sf_dir
+    fwd = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return personalized_pagerank(edges, BFS_SOURCES, iters=PPR_ITERS)
+
+
+def _ppr_entities_sql() -> str:
+    """Lazy oracle: plain-Python personalized-PageRank replay over the
+    SAME parquet-derived symmetric edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.pagerank import personalized_pagerank_reference
+
+    base = _BFS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    fwd = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    edge_list = sorted(fwd) + sorted((d, s) for s, d in fwd)
+    ranks = personalized_pagerank_reference(edge_list, BFS_SOURCES, iters=PPR_ITERS)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({r} AS BIGINT))" for n, r in sorted(ranks.items())
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(node, rank_ppb)"
+
+
 def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G12: weighted shortest paths (r06 operator, born folded —
     registry at the 50 cap): association distance over the co-mention

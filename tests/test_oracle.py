@@ -199,6 +199,9 @@ def _folded_queries():
         # independent Python DIJKSTRA (different algorithm from the
         # Spark Bellman-Ford relaxation) over DuckDB-read edges
         ("sssp_distances", q.q_sssp_distances, q._sssp_distances_sql),
+        # r06, born folded: personalized PageRank — seed-teleport
+        # proximity, exact-integer recipe, Python replay as VALUES
+        ("ppr_entities", q.q_ppr_entities, q._ppr_entities_sql),
     ]
 
 

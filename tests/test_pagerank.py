@@ -69,3 +69,53 @@ def test_parallel_edges_are_multigraph(spark):
     got = _ranks(pagerank(_edges_df(spark, dup), iters=6))
     assert got == pagerank_reference(dup, iters=6)
     assert got["b"] > got["c"]
+
+
+# -------------------------------------------------------- personalized
+
+
+def test_ppr_matches_python_reference_exactly(spark):
+    import random
+
+    from pie_spark.graph.pagerank import (
+        personalized_pagerank,
+        personalized_pagerank_reference,
+    )
+
+    rng = random.Random(60610)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    edges = sorted({tuple(rng.sample(nodes, 2)) for _ in range(40)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.rank_ppb
+        for r in personalized_pagerank(df, ["n00", "n03"], iters=8).collect()
+    }
+    assert got == personalized_pagerank_reference(edges, ["n00", "n03"], iters=8)
+
+
+def test_ppr_mass_concentrates_on_seed_side(spark):
+    # two triangles joined by one bridge: seeding the left triangle
+    # must rank every left node above every right node
+    from pie_spark.graph.pagerank import personalized_pagerank
+
+    left = [("a", "b"), ("b", "c"), ("c", "a")]
+    right = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    edges = left + right + bridge
+    sym = edges + [(d, s) for s, d in edges]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {
+        r.node: r.rank_ppb
+        for r in personalized_pagerank(df, ["a"], iters=12).collect()
+    }
+    assert min(got[n] for n in "abc") > max(got[n] for n in "xyz")
+
+
+def test_ppr_absent_seed_raises(spark):
+    import pytest as _pytest
+
+    from pie_spark.graph.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, ["nope"], iters=2)
