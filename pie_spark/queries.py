@@ -4385,6 +4385,40 @@ def _random_walks_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
 
 
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9b: resource-allocation link-prediction index (r06 operator,
+    born folded — registry at the 50 cap): Σ 10^6 DIV deg(middle) over
+    common neighbors on the co-mention graph (graph/similarity.py) —
+    the integer-exact Adamic–Adar surrogate; guard set BELOW the
+    fixture max degree so the hash covers the drop rule. Fully
+    relational; the oracle replays it verbatim in DuckDB SQL."""
+    from pie_spark.graph.similarity import resource_allocation
+    from pie_spark.text.colloc import comention_edges
+
+    edges = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    return resource_allocation(edges, max_middle_degree=20, min_shared=2)
+
+
+SQL_RESOURCE_ALLOCATION = f"""
+WITH {_SQL_COMENTION_CTES},
+e AS (SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}),
+adj AS (SELECT w1 AS src, w2 AS dst FROM e UNION ALL SELECT w2, w1 FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+mid AS (
+  SELECT a.src, a.dst, CAST(1000000 // d.deg AS BIGINT) AS w_ppm
+  FROM adj a JOIN deg d ON d.node = a.src AND d.deg <= 20
+)
+SELECT x.dst AS a, y.dst AS b,
+       CAST(count(*) AS BIGINT) AS shared,
+       CAST(sum(x.w_ppm) AS BIGINT) AS ra_ppm
+FROM mid x JOIN mid y ON x.src = y.src AND x.dst < y.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 PPR_ITERS = 8
 
 

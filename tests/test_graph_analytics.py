@@ -445,3 +445,63 @@ def test_kanon_fixture_mass_invariant(spark):
     assert sum(r.n_individuals for r in rep) == n
     assert all(r.n_individuals == r.class_size * r.n_classes for r in rep)
     assert all(r.min_l >= 1 and r.n_l1_classes <= r.n_classes for r in rep)
+
+
+# ---------------------------------------------------- resource allocation
+
+
+def test_resource_allocation_matches_reference_fuzz(spark):
+    from pie_spark.graph.similarity import (
+        resource_allocation,
+        resource_allocation_reference,
+    )
+
+    rng = random.Random(60611)
+    for _ in range(3):
+        nodes = [f"n{i:02d}" for i in range(12)]
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(26)})
+        df = _edges_df(spark, edges)
+        got = {
+            (r.a, r.b): (r.shared, r.ra_ppm)
+            for r in resource_allocation(df).collect()
+        }
+        assert got == resource_allocation_reference(edges)
+
+
+def test_resource_allocation_rare_middle_scores_higher(spark):
+    from pie_spark.graph.similarity import resource_allocation
+
+    # p-q share rare middle r (deg 2); x-y share busy middle h (deg 6)
+    edges = [("p", "r"), ("q", "r"), ("x", "h"), ("y", "h")] + [
+        ("h", f"z{i}") for i in range(4)
+    ]
+    got = {
+        (r.a, r.b): r.ra_ppm
+        for r in resource_allocation(_edges_df(spark, edges)).collect()
+    }
+    assert got[("p", "q")] == 1_000_000 // 2
+    assert got[("x", "y")] == 1_000_000 // 6
+    assert got[("p", "q")] > got[("x", "y")]
+
+
+def test_resource_allocation_hub_guard_drops_lower_only(spark):
+    from pie_spark.graph.similarity import (
+        resource_allocation,
+        resource_allocation_reference,
+    )
+
+    edges = [("hub", f"s{i}") for i in range(8)] + [
+        ("s0", "m"), ("s1", "m"), ("s0", "k"), ("s1", "k")
+    ]
+    df = _edges_df(spark, edges)
+    full = {
+        (r.a, r.b): r.ra_ppm for r in resource_allocation(df, 100).collect()
+    }
+    guarded = {
+        (r.a, r.b): r.ra_ppm for r in resource_allocation(df, 4).collect()
+    }
+    ref = {k: r for k, (s, r) in resource_allocation_reference(edges, 4).items()}
+    assert guarded == ref
+    # drops only lower: every surviving pair scores <= its full score
+    for k, v in guarded.items():
+        assert v <= full[k]

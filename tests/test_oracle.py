@@ -202,6 +202,10 @@ def _folded_queries():
         # r06, born folded: personalized PageRank — seed-teleport
         # proximity, exact-integer recipe, Python replay as VALUES
         ("ppr_entities", q.q_ppr_entities, q._ppr_entities_sql),
+        # r06, born folded: resource-allocation link prediction — the
+        # integer-exact Adamic-Adar surrogate, verbatim DuckDB replay
+        # with the guard inside the hash
+        ("resource_allocation", q.q_resource_allocation, q.SQL_RESOURCE_ALLOCATION),
     ]
 
 
