@@ -183,6 +183,161 @@ def transe_negatives(
     )
 
 
+def weighted_negatives(
+    triples: DataFrame,
+    weights: DataFrame,
+    n_neg: int = 4,
+    probes: int = 3,
+) -> DataFrame:
+    """(subj, pred, obj, slot, probe, neg_obj): filtered tail-corruption
+    negatives drawn from the CALLER-WEIGHTED entity distribution — the
+    word2vec recipe (corrupt proportionally to unigram frequency, so
+    the trainer sees hard negatives, not the uniform long tail).
+    ``weights`` is (entity, w) with positive integer weights; entities
+    outside it are never drawn.
+
+    The categorical draw is exact integer arithmetic over CUMULATIVE
+    WEIGHT INTERVALS: entity e owns [cum_lo(e), cum_hi(e)] (disjoint,
+    covering [0, W-1] in entity rank order), the draw for (triple,
+    slot, probe) is h = h64(s#p#o#slot#probe) mod W, and the matching
+    entity is found with the bucketized RANGE JOIN (events/
+    rangejoin.py, bucket width = max weight so every interval spans
+    ≤ 2 buckets; the Zipf-head hot buckets are exactly the skew AQE's
+    skew-join splitting covers). Collision filtering and the
+    lowest-surviving-probe election are the transe_negatives
+    machinery (packed-BIGINT min, anti-join against true triples).
+
+    Scale shape: the cumulative table is ONE V-row window (X17
+    precedent) built once; draws fan out narrowly (n_neg·probes per
+    triple); the range join is |draws| + 2V shuffled rows; the
+    anti-join is the one triple-scale shuffle. Deterministic and
+    partitioning-invariant — the DuckDB oracle replays the draw as a
+    direct BETWEEN join (IEJoin), an independent algorithm.
+    """
+    from pie_spark.events.rangejoin import range_join
+
+    triples = triples.select("subj", "pred", "obj").distinct()
+    w = weights.select(
+        F.col("entity").cast("string").alias("entity"),
+        F.col("w").cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    win = Window.orderBy("entity")
+    cum = (
+        w.select(
+            "entity",
+            (F.row_number().over(win) - 1).cast("long").alias("idx"),
+            (F.sum("w").over(win) - F.col("w")).cast("long").alias("cum_lo"),
+            (F.sum("w").over(win) - 1).cast("long").alias("cum_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bounds = cum.agg(
+        F.max("cum_hi").alias("m"), F.max(F.col("cum_hi") - F.col("cum_lo") + 1).alias("mw")
+    ).collect()[0]  # bounded: two longs
+    total, max_w = int(bounds["m"]) + 1, int(bounds["mw"])
+    draws = (
+        triples.select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(1), F.lit(n_neg))).alias("slot"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "slot",
+            F.explode(F.sequence(F.lit(0), F.lit(probes - 1))).alias("probe"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "slot",
+            "probe",
+            F.pmod(
+                h64(
+                    F.concat_ws(
+                        "#",
+                        F.col("subj"),
+                        F.col("pred"),
+                        F.col("obj"),
+                        F.col("slot").cast("string"),
+                        F.col("probe").cast("string"),
+                    )
+                ),
+                F.lit(total).cast("long"),
+            ).alias("h"),
+        )
+    )
+    matched = range_join(
+        draws, cum, "h", "cum_lo", "cum_hi", bucket_us=max_w
+    ).select("subj", "pred", "obj", "slot", "probe", "entity", "idx")
+    survivors = matched.filter(F.col("entity") != F.col("obj")).join(
+        triples.select(
+            F.col("subj").alias("t_subj"),
+            F.col("pred").alias("t_pred"),
+            F.col("obj").alias("t_obj"),
+        ),
+        (F.col("subj") == F.col("t_subj"))
+        & (F.col("pred") == F.col("t_pred"))
+        & (F.col("entity") == F.col("t_obj")),
+        "left_anti",
+    )
+    elected = (
+        survivors.groupBy("subj", "pred", "obj", "slot")
+        .agg(F.min(F.col("probe") * F.lit(PACK) + F.col("idx")).alias("enc"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("slot").cast("long").alias("slot"),
+            F.expr(f"CAST(enc DIV {PACK} AS BIGINT)").alias("probe"),
+            F.expr(f"CAST(enc % {PACK} AS BIGINT)").alias("neg_idx"),
+        )
+    )
+    return elected.join(
+        F.broadcast(
+            cum.select(F.col("idx").alias("neg_idx"), F.col("entity").alias("neg_obj"))
+        ),
+        "neg_idx",
+    ).select("subj", "pred", "obj", "slot", "probe", "neg_obj")
+
+
+def weighted_negatives_reference(
+    triples: list[tuple[str, str, str]],
+    weights: dict[str, int],
+    n_neg: int = 4,
+    probes: int = 3,
+) -> list[tuple[str, str, str, int, int, str]]:
+    """Plain-Python replay of ``weighted_negatives`` (bisect over the
+    cumulative weight array — independent of the range-join path)."""
+    from bisect import bisect_right
+
+    tset = set(triples)
+    ents = sorted(e for e, wv in weights.items() if wv > 0)
+    cum_hi: list[int] = []
+    acc = 0
+    for e in ents:
+        acc += weights[e]
+        cum_hi.append(acc - 1)
+    total = acc
+    out = []
+    for (s, p, o), k in product(sorted(tset), range(1, n_neg + 1)):
+        best = None
+        for j in range(probes):
+            h = _h64_py(f"{s}#{p}#{o}#{k}#{j}") % total
+            i = bisect_right(cum_hi, h - 1)
+            cand = ents[i]
+            if cand == o or (s, p, cand) in tset:
+                continue
+            best = (j, cand)
+            break
+        if best is not None:
+            out.append((s, p, o, k, best[0], best[1]))
+    return out
+
+
 def _h64_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 

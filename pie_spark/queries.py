@@ -4638,6 +4638,92 @@ def q_transe_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_negatives(trip, n_neg=TRANSE_N_NEG, probes=TRANSE_PROBES)
 
 
+def q_weighted_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11b: frequency-weighted negative sampling (r06 operator, born
+    folded — registry at the 50 cap): tails corrupted proportionally
+    to their unigram frequency as triple tails (the word2vec hard-
+    negative recipe) on the customer/supplier→nation KG; the
+    categorical draw is cumulative-weight intervals matched by the
+    bucketized RANGE JOIN (graph/negatives.py + events/rangejoin.py).
+    The oracle replays the draw as a direct BETWEEN join (DuckDB
+    IEJoin) — an independent algorithm — and every other stage
+    verbatim."""
+    from pie_spark.graph.negatives import weighted_negatives
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    trip = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("IN_NATION").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            s.join(n, s.s_nationkey == n.n_nationkey).select(
+                F.col("s_name").alias("subj"),
+                F.lit("FROM_NATION").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    wts = trip.groupBy(F.col("obj").alias("entity")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    return weighted_negatives(
+        trip, wts, n_neg=TRANSE_N_NEG, probes=TRANSE_PROBES
+    )
+
+
+SQL_WEIGHTED_NEGATIVES = f"""
+WITH trip0 AS (
+  SELECT c_name AS subj, 'IN_NATION' AS pred, n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION
+  SELECT s_name, 'FROM_NATION', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+wts AS (SELECT obj AS entity, CAST(count(*) AS BIGINT) AS w FROM trip0 GROUP BY 1),
+cum AS (
+  SELECT entity,
+         CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx,
+         CAST(sum(w) OVER (ORDER BY entity) - w AS BIGINT) AS cum_lo,
+         CAST(sum(w) OVER (ORDER BY entity) - 1 AS BIGINT) AS cum_hi
+  FROM wts
+),
+tot AS (SELECT CAST(max(cum_hi) + 1 AS BIGINT) AS wtot FROM cum),
+draws AS (
+  SELECT t.subj, t.pred, t.obj, k.slot, j.probe,
+         ('0x' || substr(md5(t.subj || '#' || t.pred || '#' || t.obj || '#' ||
+              CAST(k.slot AS VARCHAR) || '#' || CAST(j.probe AS VARCHAR)),
+              1, 15))::UBIGINT::BIGINT % (SELECT wtot FROM tot) AS h
+  FROM trip0 t, generate_series(1, {TRANSE_N_NEG}) AS k(slot),
+       generate_series(0, {TRANSE_PROBES - 1}) AS j(probe)
+),
+m AS (
+  SELECT d.subj, d.pred, d.obj, d.slot, d.probe, c.entity, c.idx
+  FROM draws d JOIN cum c ON d.h BETWEEN c.cum_lo AND c.cum_hi
+),
+surv AS (
+  SELECT * FROM m
+  WHERE m.entity <> m.obj
+    AND NOT EXISTS (SELECT 1 FROM trip0 t
+                    WHERE t.subj = m.subj AND t.pred = m.pred
+                      AND t.obj = m.entity)
+),
+el AS (
+  SELECT subj, pred, obj, slot,
+         min(probe * {_TRANSE_PACK} + idx) AS enc
+  FROM surv GROUP BY 1, 2, 3, 4
+)
+SELECT el.subj, el.pred, el.obj, CAST(el.slot AS BIGINT) AS slot,
+       CAST(el.enc // {_TRANSE_PACK} AS BIGINT) AS probe,
+       c.entity AS neg_obj
+FROM el JOIN cum c ON c.idx = el.enc % {_TRANSE_PACK}
+"""
+
+
 SQL_TRANSE_NEGATIVES = f"""
 WITH trip AS (
   SELECT c_name AS subj, 'IN_NATION' AS pred, n_name AS obj

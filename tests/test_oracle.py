@@ -206,6 +206,10 @@ def _folded_queries():
         # integer-exact Adamic-Adar surrogate, verbatim DuckDB replay
         # with the guard inside the hash
         ("resource_allocation", q.q_resource_allocation, q.SQL_RESOURCE_ALLOCATION),
+        # r06, born folded: frequency-weighted negative sampling — the
+        # categorical draw replayed as a direct BETWEEN join (IEJoin),
+        # an independent algorithm from the bucketized range join
+        ("weighted_negatives", q.q_weighted_negatives, q.SQL_WEIGHTED_NEGATIVES),
     ]
 
 

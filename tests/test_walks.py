@@ -213,3 +213,56 @@ def test_node2vec_partitioning_invariant_and_guarded_hub(spark):
         for r in node2vec_walks(df.repartition(6), 5, 1, max_bias_degree=4).collect()
     )
     assert a == b == sorted(node2vec_walks_reference(star, 5, 1, max_bias_degree=4))
+
+
+# ------------------------------------------------------ weighted negatives
+
+
+def test_weighted_negatives_match_reference_fuzz(spark):
+    from pie_spark.graph.negatives import (
+        weighted_negatives,
+        weighted_negatives_reference,
+    )
+
+    rng = random.Random(60612)
+    for _ in range(2):
+        trip = _rand_triples(rng, 10, 2, 22)
+        ents = sorted({s for s, _, _ in trip} | {o for _, _, o in trip})
+        weights = {e: rng.randint(1, 40) for e in ents}
+        tdf = spark.createDataFrame(trip, ["subj", "pred", "obj"])
+        wdf = spark.createDataFrame(sorted(weights.items()), ["entity", "w"])
+        got = sorted(
+            tuple(r) for r in weighted_negatives(tdf, wdf, 4, 3).collect()
+        )
+        assert got == sorted(weighted_negatives_reference(trip, weights, 4, 3))
+
+
+def test_weighted_negatives_follow_the_weights(spark):
+    # one entity owns ~90% of the mass — it must dominate the draws
+    from collections import Counter
+
+    from pie_spark.graph.negatives import weighted_negatives
+
+    trip = [(f"s{i:02d}", "R", "tail") for i in range(30)]
+    wdf = spark.createDataFrame(
+        [("heavy", 900), ("light_a", 50), ("light_b", 50), ("tail", 1)],
+        ["entity", "w"],
+    )
+    tdf = spark.createDataFrame(trip, ["subj", "pred", "obj"])
+    rows = weighted_negatives(tdf, wdf, n_neg=4, probes=2).collect()
+    c = Counter(r.neg_obj for r in rows)
+    assert c["heavy"] > (c["light_a"] + c["light_b"]) * 3
+    assert "tail" not in c  # the true tail is always filtered
+
+
+def test_weighted_negatives_partitioning_invariant(spark):
+    from pie_spark.graph.negatives import weighted_negatives
+
+    trip = _rand_triples(random.Random(31), 8, 2, 16)
+    ents = sorted({s for s, _, _ in trip} | {o for _, _, o in trip})
+    wdf = spark.createDataFrame([(e, i + 1) for i, e in enumerate(ents)],
+                                ["entity", "w"])
+    tdf = spark.createDataFrame(trip, ["subj", "pred", "obj"])
+    a = sorted(tuple(r) for r in weighted_negatives(tdf.repartition(1), wdf, 3, 3).collect())
+    b = sorted(tuple(r) for r in weighted_negatives(tdf.repartition(5), wdf, 3, 3).collect())
+    assert a == b
