@@ -417,6 +417,160 @@ def node2vec_walks(
     return frontier.select("start", "walk_no", "path")
 
 
+def weighted_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    walks_per_node: int = 2,
+) -> DataFrame:
+    """(start, walk_no, path): first-order walks where the step choice
+    is proportional to EDGE WEIGHT — on a pair_docs-weighted co-mention
+    graph the walk drifts toward strongly-associated entities, the
+    corpus a relatedness-embedding trainer actually wants. ``edges``
+    is directed (src, dst, w) with positive integer weights.
+
+    The draw is the cumulative-interval recipe shared with
+    weighted_negatives, lifted to per-source distributions with ONE
+    trick: every source's intervals are OFFSET by a per-source global
+    base (the running sum of source totals in src rank order), making
+    ALL E intervals disjoint on a single global axis [0, ΣW). A hop is
+    then: pick_g = base(cur) + h64(start#walk_no#t#cur) mod total(cur),
+    resolved through the J9 bucketized range join (bucket = max edge
+    weight → ≤ 2 buckets per interval) against the interval table
+    built ONCE and checkpointed — per hop only the frontier moves, the
+    same scale shape as the uniform walk. Zipf-hot buckets (heavy
+    edges) are AQE skew-join territory.
+
+    Dangling nodes freeze exactly as in :func:`random_walks`.
+    ``weighted_walks_reference`` is the independent bisect replay;
+    parity tests pin them bit-equal."""
+    from pie_spark.events.rangejoin import range_join
+
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    # per-src cumulative intervals in dst rank order
+    ws = Window.partitionBy("src").orderBy("dst")
+    local = e.groupBy("src", "dst").agg(F.max("w").alias("w")).select(
+        "src",
+        "dst",
+        (F.sum("w").over(ws) - F.col("w")).cast("long").alias("c_lo"),
+        (F.sum("w").over(ws) - 1).cast("long").alias("c_hi"),
+    )
+    totals = local.groupBy("src").agg(
+        (F.max("c_hi") + 1).cast("long").alias("total_w")
+    )
+    # per-src global base: running sum of totals in src rank order —
+    # V-row window (X17 precedent)
+    base = totals.select(
+        F.col("src").alias("b_src"),
+        "total_w",
+        (
+            F.sum("total_w").over(Window.orderBy("src")) - F.col("total_w")
+        ).cast("long").alias("base"),
+    ).localCheckpoint(eager=True)
+    ivals = (
+        local.join(base, local.src == F.col("b_src"))
+        .select(
+            F.col("dst").alias("i_dst"),
+            (F.col("base") + F.col("c_lo")).alias("g_lo"),
+            (F.col("base") + F.col("c_hi")).alias("g_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    max_w = int(
+        e.agg(F.max("w").alias("m")).collect()[0]["m"] or 1
+    )  # bounded: one long
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk_no"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for t in range(1, walk_len):
+        picked = (
+            frontier.join(base, frontier.cur == F.col("b_src"), "left")
+            .select(
+                "start",
+                "walk_no",
+                "cur",
+                "path",
+                F.when(
+                    F.col("total_w").isNotNull(),
+                    F.col("base") + F.pmod(_step_hash(t), F.col("total_w")),
+                ).alias("pick_g"),
+            )
+        )
+        live = picked.filter(F.col("pick_g").isNotNull())
+        frozen = picked.filter(F.col("pick_g").isNull()).select(
+            "start", "walk_no", "cur", "path"
+        )
+        stepped = range_join(
+            live, ivals, "pick_g", "g_lo", "g_hi", bucket_us=max_w
+        ).select(
+            "start",
+            "walk_no",
+            F.col("i_dst").alias("cur"),
+            F.concat_ws(" ", F.col("path"), F.col("i_dst")).alias("path"),
+        )
+        frontier = frozen.unionByName(stepped)
+        if t % CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+    return frontier.select("start", "walk_no", "path")
+
+
+def weighted_walks_reference(
+    edges: list[tuple[str, str, int]],
+    walk_len: int = 5,
+    walks_per_node: int = 2,
+) -> list[tuple[str, int, str]]:
+    """Plain-Python replay of ``weighted_walks`` (per-src bisect over
+    cumulative weights — independent of the range-join path)."""
+    from bisect import bisect_right
+
+    best: dict[tuple[str, str], int] = {}
+    nodes: set[str] = set()
+    for s, d, w in edges:
+        if w <= 0:
+            continue
+        nodes.add(s)
+        nodes.add(d)
+        if (s, d) not in best or w > best[(s, d)]:
+            best[(s, d)] = w
+    nbrs: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for (s, d), w in sorted(best.items()):
+        nbrs[s].append((d, w))
+    cum: dict[str, tuple[list[str], list[int], int]] = {}
+    for s, lst in nbrs.items():
+        ds, his, acc = [], [], 0
+        for d, w in lst:  # already dst-sorted
+            acc += w
+            ds.append(d)
+            his.append(acc - 1)
+        cum[s] = (ds, his, acc)
+    out: list[tuple[str, int, str]] = []
+    for start in sorted(nodes):
+        for walk_no in range(walks_per_node):
+            cur, path = start, [start]
+            for t in range(1, walk_len):
+                if cur not in cum:
+                    continue
+                ds, his, total = cum[cur]
+                h = _h64_py(f"{start}#{walk_no}#{t}#{cur}") % total
+                cur = ds[bisect_right(his, h - 1)]
+                path.append(cur)
+            out.append((start, walk_no, " ".join(path)))
+    return out
+
+
 def node2vec_walks_reference(
     edges: list[tuple[str, str]],
     walk_len: int = 5,

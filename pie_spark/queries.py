@@ -4601,6 +4601,68 @@ def _node2vec_corpus_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
 
 
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10c: edge-weighted walk corpus (r06 operator, born folded —
+    registry at the 50 cap): first-order walks over the co-mention
+    graph with step probability ∝ pair_docs (the walk drifts toward
+    strongly-associated entities) via the global-offset cumulative-
+    interval draw resolved through the J9 range join
+    (graph/walks.py:weighted_walks). Lazy VALUES oracle from the
+    independent bisect replay over the DuckDB-read weighted edges."""
+    from pie_spark.graph.walks import weighted_walks
+    from pie_spark.text.colloc import cooccurrence_counts, doc_term_incidence
+
+    global _WALKS_LAST_SF_DIR
+    _WALKS_LAST_SF_DIR = sf_dir
+    fwd = (
+        cooccurrence_counts(doc_term_incidence(_tp(spark, sf_dir, "documents")))
+        .filter(F.col("pair_docs") >= COMENTION_MIN_PAIR_DOCS)
+        .select(
+            F.col("w1").alias("src"),
+            F.col("w2").alias("dst"),
+            F.col("pair_docs").cast("long").alias("w"),
+        )
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return weighted_walks(edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE)
+
+
+def _weighted_walks_sql() -> str:
+    """Lazy oracle: independent bisect replay over the SAME parquet-
+    derived weighted edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.walks import weighted_walks_reference
+
+    base = _WALKS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    fwd = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2, pair_docs FROM pair
+        WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    wedges = sorted(fwd) + sorted((d, s, w) for s, d, w in fwd)
+    walks = weighted_walks_reference(wedges, WALK_LEN, WALKS_PER_NODE)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(s)}', CAST({k} AS INTEGER), '{_q(p)}')" for s, k, p in sorted(walks)
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(start, walk_no, path)"
+
+
 TRANSE_N_NEG = 4
 TRANSE_PROBES = 3
 _TRANSE_PACK = 1 << 40

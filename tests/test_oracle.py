@@ -210,6 +210,10 @@ def _folded_queries():
         # categorical draw replayed as a direct BETWEEN join (IEJoin),
         # an independent algorithm from the bucketized range join
         ("weighted_negatives", q.q_weighted_negatives, q.SQL_WEIGHTED_NEGATIVES),
+        # r06, born folded: edge-weighted walk corpus — global-offset
+        # cumulative intervals through the J9 range join; independent
+        # bisect replay as VALUES
+        ("weighted_walks", q.q_weighted_walks, q._weighted_walks_sql),
     ]
 
 

@@ -266,3 +266,58 @@ def test_weighted_negatives_partitioning_invariant(spark):
     a = sorted(tuple(r) for r in weighted_negatives(tdf.repartition(1), wdf, 3, 3).collect())
     b = sorted(tuple(r) for r in weighted_negatives(tdf.repartition(5), wdf, 3, 3).collect())
     assert a == b
+
+
+# -------------------------------------------------------- weighted walks
+
+
+def test_weighted_walks_match_reference_fuzz(spark):
+    from pie_spark.graph.walks import weighted_walks, weighted_walks_reference
+
+    rng = random.Random(60613)
+    for _ in range(2):
+        edges = [(a, b, rng.randint(1, 25)) for a, b in _rand_edges(rng, 10, 24)]
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        got = sorted(
+            tuple(r) for r in weighted_walks(df, walk_len=6, walks_per_node=2).collect()
+        )
+        assert got == sorted(weighted_walks_reference(edges, 6, 2))
+
+
+def test_weighted_walks_follow_heavy_edges(spark):
+    # hub with one weight-1000 edge and nine weight-1 edges: nearly
+    # every hop from the hub must take the heavy edge
+    from collections import Counter
+
+    from pie_spark.graph.walks import weighted_walks
+
+    edges = [("hub", "heavy", 1000)] + [("hub", f"s{i}", 1) for i in range(9)]
+    edges += [(d, "hub", 1) for _, d, _ in [(None, "heavy", None)]]
+    edges += [(f"s{i}", "hub", 1) for i in range(9)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    rows = weighted_walks(df, walk_len=9, walks_per_node=3).collect()
+    hops = Counter()
+    for r in rows:
+        seq = r.path.split(" ")
+        for u, v in zip(seq, seq[1:]):
+            if u == "hub":
+                hops[v] += 1
+    assert hops["heavy"] > sum(v for k, v in hops.items() if k != "heavy") * 5
+
+
+def test_weighted_walks_partitioning_invariant_and_unit_weight(spark):
+    from pie_spark.graph.walks import random_walks, weighted_walks
+
+    edges = _rand_edges(random.Random(41), 9, 20)
+    unit = [(a, b, 1) for a, b in edges]
+    df = spark.createDataFrame(unit, ["src", "dst", "w"])
+    a = sorted(tuple(r) for r in weighted_walks(df.repartition(1), 5, 2).collect())
+    b = sorted(tuple(r) for r in weighted_walks(df.repartition(7), 5, 2).collect())
+    assert a == b
+    # all-unit weights reduce to the uniform walk (same hash, same
+    # rank-ordered cumulative ranges of width 1)
+    fo = sorted(
+        tuple(r)
+        for r in random_walks(spark.createDataFrame(edges, ["src", "dst"]), 5, 2).collect()
+    )
+    assert a == fo
