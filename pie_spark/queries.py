@@ -4419,6 +4419,72 @@ HAVING count(*) >= 2
 """
 
 
+HYPERBALL_ROUNDS = 3
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: HyperBall neighborhood-function estimation (r06 operator,
+    born folded — registry at the 50 cap): per-node d-hop ball
+    sketches over the symmetrized co-mention graph via elementwise
+    register max along edges (graph/hyperball.py — the deterministic
+    sha256 HLL registers from link/hll.py, 16 LONG columns so every
+    round's union is an algebraic agg). The hash-checked columns are
+    the EXACT integers (scaled register sum, empty count); the float
+    estimate is pytest-pinned for accuracy, off the driver path. Lazy
+    VALUES oracle from the independent Python replay."""
+    from pie_spark.graph.hyperball import hyperball
+    from pie_spark.text.colloc import comention_edges
+
+    global _BFS_LAST_SF_DIR
+    _BFS_LAST_SF_DIR = sf_dir
+    fwd = comention_edges(
+        _tp(spark, sf_dir, "documents"), min_pair_docs=COMENTION_MIN_PAIR_DOCS
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return hyperball(edges, rounds=HYPERBALL_ROUNDS)
+
+
+def _hyperball_sql() -> str:
+    """Lazy oracle: plain-Python HyperBall replay over the SAME
+    parquet-derived symmetric edge set, inlined as VALUES."""
+    import os
+
+    import duckdb
+
+    from pie_spark.graph.hyperball import hyperball_reference
+
+    base = _BFS_LAST_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    fwd = con.execute(
+        f"""
+        WITH {_SQL_COMENTION_CTES.replace("FROM documents",
+             f"FROM read_parquet('{base}/documents.parquet')")}
+        SELECT w1, w2 FROM pair WHERE pair_docs >= {COMENTION_MIN_PAIR_DOCS}
+        """
+    ).fetchall()
+    con.close()
+    sym = sorted(fwd) + sorted((d, s) for s, d in fwd)
+    rows = hyperball_reference(sym, rounds=HYPERBALL_ROUNDS)
+
+    def _q(v: str) -> str:
+        return v.replace("'", "''")
+
+    values = ",\n".join(
+        f"('{_q(n)}', CAST({t} AS BIGINT), CAST({s} AS BIGINT),"
+        f" CAST({e} AS BIGINT))"
+        for n, t, s, e in sorted(rows)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(node, round, reg_sum, empties)"
+    )
+
+
 PPR_ITERS = 8
 
 

@@ -214,6 +214,10 @@ def _folded_queries():
         # cumulative intervals through the J9 range join; independent
         # bisect replay as VALUES
         ("weighted_walks", q.q_weighted_walks, q._weighted_walks_sql),
+        # r06, born folded: HyperBall neighborhood sketches — exact
+        # integer register state hash-checked (float estimate stays
+        # pytest-pinned); Python replay as VALUES
+        ("hyperball", q.q_hyperball, q._hyperball_sql),
     ]
 
 

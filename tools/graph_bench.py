@@ -146,6 +146,28 @@ def main() -> None:
         n2v_n = n2v.count()
         n2v_s = time.time() - t0
 
+        # weighted walks: hash-derived 1..9 edge weights through the
+        # global-offset interval draw (J9 range join per hop)
+        from pie_spark.graph.walks import weighted_walks
+
+        t0 = time.time()
+        sym = symmetrize(ce)
+        wwed = sym.select(
+            "src", "dst", (F.pmod(F.xxhash64("src", "dst"), F.lit(9)) + 1).alias("w")
+        )
+        ww = weighted_walks(wwed, walk_len=5, walks_per_node=1)
+        ww_n = ww.count()
+        ww_s = time.time() - t0
+
+        # HyperBall: 3 rounds of 16-column register max — the
+        # approximate answer to "run BFS from every node"
+        from pie_spark.graph.hyperball import hyperball
+
+        t0 = time.time()
+        hb = hyperball(sym, rounds=3)
+        hb_n = hb.count()
+        hb_s = time.time() - t0
+
         # filtered negatives over edge-derived triples: V-sized vocab
         # (one V-row window rank), E·n_neg·probes candidate fan-out,
         # one triple-sized anti-join
@@ -188,6 +210,10 @@ def main() -> None:
                     "node2vec_rows": n2v_n,
                     "sssp_sec": round(ss_s, 2),
                     "sssp_reached": ss_n,
+                    "weighted_walks_sec": round(ww_s, 2),
+                    "weighted_walks_rows": ww_n,
+                    "hyperball3_sec": round(hb_s, 2),
+                    "hyperball3_rows": hb_n,
                     "negatives_sec": round(neg_s, 2),
                     "negatives_rows": neg_n,
                 }
