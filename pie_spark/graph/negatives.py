@@ -68,17 +68,19 @@ PACK = 1 << 40  # probe·PACK + idx: idx < 2^40, probe < 2^23 → < 2^63
 
 def entity_vocab(triples: DataFrame) -> DataFrame:
     """(entity, idx): rank-indexed distinct subj ∪ obj vocabulary.
-    V-sized; the single-partition window is the X17/percentile-rank
-    precedent — vocab scale, never corpus scale."""
+    Ranked with the DISTRIBUTED total-order index (pie_spark/ranks.py
+    — range partitions + per-partition offsets), not a single-
+    partition window: the measured Amdahl bottleneck of this operator
+    at a 400k-entity vocab (eff 0.46 → fixed, BENCH/BASELINE.md).
+    Output is identical to row_number over the global order."""
+    from pie_spark.ranks import ordered_index
+
     ents = (
         triples.select(F.col("subj").alias("entity"))
         .unionByName(triples.select(F.col("obj").alias("entity")))
         .distinct()
     )
-    return ents.select(
-        "entity",
-        (F.row_number().over(Window.orderBy("entity")) - 1).cast("long").alias("idx"),
-    )
+    return ordered_index(ents, "entity")
 
 
 def transe_negatives(
@@ -217,18 +219,17 @@ def weighted_negatives(
     from pie_spark.events.rangejoin import range_join
 
     triples = triples.select("subj", "pred", "obj").distinct()
+    from pie_spark.ranks import prefix_sums
+
     w = weights.select(
         F.col("entity").cast("string").alias("entity"),
         F.col("w").cast("long").alias("w"),
     ).filter(F.col("w") > 0)
-    win = Window.orderBy("entity")
+    # distributed rank + running sums (ranks.py) — no single-partition
+    # window on the vocab (the measured scaling bottleneck)
     cum = (
-        w.select(
-            "entity",
-            (F.row_number().over(win) - 1).cast("long").alias("idx"),
-            (F.sum("w").over(win) - F.col("w")).cast("long").alias("cum_lo"),
-            (F.sum("w").over(win) - 1).cast("long").alias("cum_hi"),
-        )
+        prefix_sums(w, "entity", "w")
+        .select("entity", "idx", "cum_lo", "cum_hi")
         .localCheckpoint(eager=True)
     )
     bounds = cum.agg(

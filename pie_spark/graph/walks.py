@@ -462,14 +462,19 @@ def weighted_walks(
         (F.max("c_hi") + 1).cast("long").alias("total_w")
     )
     # per-src global base: running sum of totals in src rank order —
-    # V-row window (X17 precedent)
-    base = totals.select(
-        F.col("src").alias("b_src"),
-        "total_w",
-        (
-            F.sum("total_w").over(Window.orderBy("src")) - F.col("total_w")
-        ).cast("long").alias("base"),
-    ).localCheckpoint(eager=True)
+    # distributed prefix sums (pie_spark/ranks.py), no V-row
+    # single-partition window
+    from pie_spark.ranks import prefix_sums
+
+    base = (
+        prefix_sums(totals, "src", "total_w")
+        .select(
+            F.col("src").alias("b_src"),
+            "total_w",
+            F.col("cum_lo").alias("base"),
+        )
+        .localCheckpoint(eager=True)
+    )
     ivals = (
         local.join(base, local.src == F.col("b_src"))
         .select(
