@@ -66,17 +66,30 @@ def merge_mentions(*mention_dfs: DataFrame) -> DataFrame:
         F.sum("new_group").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
-    rank = Window.partitionBy("doc_id", "overlap_group").orderBy(
-        _priority().asc(),
-        (F.col("end") - F.col("start")).desc(),
-        gstart.asc(),
-        F.col("surface").asc(),
-        F.col("detector").asc(),
+    # Winner per group via min_by over the SAME total order the old
+    # row_number window used (priority, longer span, earlier start,
+    # surface, detector) — r07: an aggregation gets map-side partial
+    # combine and, unlike the window, needs NO second sort of the full
+    # mention set; it rides the window's hash(doc_id) partitioning
+    # exchange-free (clustering on (doc_id, overlap_group) is satisfied
+    # by hash(doc_id)). Total order ⇒ the elected row is identical.
+    # doc_id stays the GROUPING attribute in the output (not best.doc_id):
+    # only then does Catalyst see the agg's hash(doc_id) partitioning as
+    # satisfying downstream clustering (linking), keeping it exchange-free
+    out_cols = [
+        c for c in grouped.columns if c not in ("doc_id", "new_group", "overlap_group")
+    ]
+    order_key = F.struct(
+        _priority().alias("prio"),
+        (F.col("start") - F.col("end")).alias("neg_len"),
+        gstart.alias("gstart"),
+        F.col("surface").alias("surface"),
+        F.col("detector").alias("detector"),
     )
     return (
-        grouped.withColumn("rn", F.row_number().over(rank))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "new_group", "overlap_group")
+        grouped.groupBy("doc_id", "overlap_group")
+        .agg(F.min_by(F.struct(*out_cols), order_key).alias("best"))
+        .select("doc_id", "best.*")
         .withColumn(
             "mention_id",
             F.xxhash64("doc_id", "span_idx", "start", "end", "mention_type"),

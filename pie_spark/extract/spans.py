@@ -45,3 +45,20 @@ def media_spans(spans: DataFrame) -> DataFrame:
     return spans.filter(F.col("kind") != "text").select(
         "doc_id", "span_idx", "offset", "kind", "media_ref"
     )
+
+
+def media_refs(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref) only — the exact input HAS_MEDIA triples need.
+
+    Uses plain ``explode`` (not ``posexplode``): Spark's nested schema
+    pruning handles Explode but NOT PosExplode, so this shape prunes the
+    parquet ReadSchema to ``spans.kind``/``spans.media_ref`` — the heavy
+    ``spans.text`` payload is never re-read on the media branch (r07;
+    verified in plans/r07). Row multiset equals
+    ``media_spans(explode_spans(docs)).select("doc_id", "media_ref")``.
+    """
+    return (
+        docs.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") != "text")
+        .select("doc_id", F.col("span.media_ref").alias("media_ref"))
+    )

@@ -286,16 +286,62 @@ def _mentions_from_path(path: list[int], toks, text: str) -> list[dict]:
     return out
 
 
+# token → (safe, emission-row) combined cache (r07): one dict probe per
+# token replaces the former feat-row + margin + emission triple lookup.
+# Values derive from the same _feat_row/_o_margin/_em_row functions, so
+# the skip decision and lattice stay bit-identical.
+_TOK_CACHE: dict[str, tuple[bool, tuple[int, ...]]] = {}
+
+
+def _tok_info(t: str) -> tuple[bool, tuple[int, ...]]:
+    r = _feat_row(t)
+    return (_o_margin(r) > MARGIN_SAFE, _em_row(r))
+
+
+def _tok_offsets(text: str, words: list[str]) -> list[tuple[int, int, str]]:
+    """Rebuild ``tokenize(text)`` from its ``findall`` word list with
+    C-level ``str.find`` walks: tokens are maximal ``\\S+`` runs, so the
+    next occurrence of ``words[i]`` at/after the previous token's end is
+    exactly its start offset (the gap is all whitespace and the word
+    contains none). Parity with tokenize() is fuzz-asserted."""
+    find = text.find
+    pos = 0
+    out = []
+    ap = out.append
+    for w in words:
+        s = find(w, pos)
+        pos = s + len(w)
+        ap((s, pos, w))
+    return out
+
+
 def _prep(text: str):
     """tokenize + skip-check; returns (toks, emission-row list) or None
-    when the all-O skip applies (provably no mentions)."""
-    toks = tokenize(text)
-    if not toks:
+    when the all-O skip applies (provably no mentions).
+
+    r07 shape: ``findall`` first (token strings only, C loop) + one
+    combined cache probe per token; char offsets are reconstructed via
+    :func:`_tok_offsets` only for spans that survive the skip — half the
+    corpus skips, and the offset tuples were the most expensive part of
+    the old always-on ``finditer`` pass."""
+    words = _TOKEN_RE.findall(text)
+    if not words:
         return None
-    rows = [_feat_row(t[2]) for t in toks]
-    if all(_o_margin(r) > MARGIN_SAFE for r in rows):
+    get = _TOK_CACHE.get
+    infos = []
+    safe = True
+    for t in words:
+        v = get(t)
+        if v is None:
+            v = _tok_info(t)
+            if len(_TOK_CACHE) < 1_000_000:  # bound worker memory
+                _TOK_CACHE[t] = v
+        if not v[0]:
+            safe = False
+        infos.append(v)
+    if safe:
         return None
-    return toks, [_em_row(r) for r in rows]
+    return _tok_offsets(text, words), [v[1] for v in infos]
 
 
 def tag_text(text: str) -> list[dict]:
@@ -322,34 +368,45 @@ def viterbi_batch(em_list: list[list[tuple[float, ...]]]) -> list[list[int]]:
     # dtype follows the input: the production path feeds exact int64
     # emission rows (integer deci-weights), while tests may probe the DP
     # with float lattices — an int buffer would silently truncate those
-    em = np.zeros((B, T_max, K), dtype=np.asarray(em_list[0][0]).dtype)
-    for b, rows in enumerate(em_list):
-        em[b, : len(rows)] = rows
+    dt = np.asarray(em_list[0][0]).dtype
+    em = np.zeros((B, T_max, K), dtype=dt)
+    # r07: one flat C-level conversion + scatter instead of a per-row
+    # ragged assignment loop
+    flat = np.array([r for rows in em_list for r in rows], dtype=dt)
+    row_idx = np.repeat(np.arange(B), lens)
+    starts = np.cumsum(lens) - lens
+    pos_idx = np.arange(flat.shape[0]) - np.repeat(starts, lens)
+    em[row_idx, pos_idx] = flat
     delta = W_START[None, :] + em[:, 0, :]          # (B, K)
     backs = np.zeros((B, max(T_max - 1, 0), K), dtype=np.int64)
     trans = W_TRANS[None, :, :]                     # (1, K, K)
+    scores = np.empty((B, K, K), dtype=np.result_type(dt, W_TRANS.dtype))
     for t in range(1, T_max):
-        scores = (delta[:, :, None] + trans) + em[:, t, :][:, None, :]  # (B,i,j)
-        bt = np.argmax(scores, axis=1)              # first-max ties, like viterbi
+        # same term order as the scalar DP: (delta + trans) + em
+        np.add(delta[:, :, None], trans, out=scores)
+        np.add(scores, em[:, t, :][:, None, :], out=scores)
+        bt = scores.argmax(axis=1)                  # first-max ties, like viterbi
         new_delta = np.take_along_axis(scores, bt[:, None, :], axis=1)[:, 0, :]
         active = (t < lens)[:, None]
         delta = np.where(active, new_delta, delta)
         backs[:, t - 1, :] = bt
-    paths: list[list[int]] = []
-    for b in range(B):
-        n = int(lens[b])
-        d = delta[b]
-        last = 0
-        best = d[0]
-        for j in range(1, K):
-            if d[j] > best:
-                best = d[j]
-                last = j
-        path = [last]
-        for t in range(n - 2, -1, -1):
-            path.append(int(backs[b, t, path[-1]]))
-        paths.append(path[::-1])
-    return paths
+    # r07: backtrack vectorized across the batch — one sweep over t with
+    # (B,)-wide gathers; per-row semantics identical to the scalar loop
+    # (np.argmax is the same first-max tie policy as the strict-> scan)
+    last = np.argmax(delta, axis=1)
+    cur = last.copy()
+    P = np.empty((B, T_max), dtype=np.int64)
+    ar = np.arange(B)
+    lm1 = lens - 1
+    for t in range(T_max - 1, -1, -1):
+        starting = lm1 == t
+        if starting.any():
+            cur[starting] = last[starting]
+        P[:, t] = cur
+        if t > 0:
+            nxt = backs[ar, t - 1, cur]
+            cur = np.where(t <= lm1, nxt, cur)
+    return [P[b, : lens[b]].tolist() for b in range(B)]
 
 
 # max padded lattice cells (rows × padded length) per viterbi_batch

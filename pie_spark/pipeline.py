@@ -34,7 +34,7 @@ from pie_spark.extract.fused import fused_matches
 from pie_spark.extract.gazetteer import gazetteer_matches
 from pie_spark.extract.matchers import regex_matches
 from pie_spark.extract.merge import merge_mentions
-from pie_spark.extract.spans import explode_spans, media_spans, text_spans
+from pie_spark.extract.spans import explode_spans, media_refs, text_spans
 from pie_spark.extract.tagger import crf_matches
 from pie_spark.graph.triples import _with_canon, all_triples
 from pie_spark.link.linker import link_mentions
@@ -179,7 +179,10 @@ def downstream_stage(
     from the broadcast hash join to the salted shuffle join (J6) — the
     oversized-dictionary path, salted on the A4 hot keys."""
     spans = explode_spans(docs)
-    med = media_spans(spans)
+    # media branch reads only (kind, media_ref) from parquet — explode
+    # (not posexplode) keeps nested pruning alive, so spans.text is
+    # never scanned twice (r07; media_triples needs no positions)
+    med = media_refs(docs)
 
     # Hot keys for J6 link salting on the fallback path —
     # cfg.hot_norm_keys (streamed counters via CLI --hot-keys-from)
