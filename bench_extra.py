@@ -154,7 +154,14 @@ def queries(names: list[str]) -> None:
     for name in headline:
         fn = QUERIES[name][0] if name in QUERIES else getattr(Qmod, f"q_{name}")
         spark.sparkContext.setJobDescription(f"query: {name}")
-        res[name] = [round(_noop(fn(spark, sf_dir)), 3) for _ in range(3)]
+        runs = []
+        for _ in range(3):
+            # time construction + write, like bench.py's _time_query —
+            # operators with eager internals (CC loops) run at build time
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        res[name] = runs
     spark.stop()
     print(json.dumps({"mins": {k: min(v) for k, v in res.items()}, "runs": res}))
 

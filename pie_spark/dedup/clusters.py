@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pie_spark.canon.cc import connected_components
+from pie_spark.canon.cc import adaptive_components
 from pie_spark.dedup.minhash import near_duplicates
 
 
@@ -32,7 +32,13 @@ def near_dup_clusters(
         F.col("doc_a").cast("string").alias("src"),
         F.col("doc_b").cast("string").alias("dst"),
     )
-    labels = connected_components(edges, max_iters=max_iters)
+    # r07: size-adaptive CC (same pattern the pipeline uses for the
+    # dictionary graph) — near-dup pair graphs are pair-sized, usually
+    # far under the driver union-find threshold, where the distributed
+    # loop is ~2 s of pure scheduling; past the threshold the salted
+    # distributed loop runs as before. Labels identical on both paths
+    # (union_find ≡ connected_components, pinned by tests/test_cc.py).
+    labels = adaptive_components(docs.sparkSession, edges, max_iters=max_iters)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
@@ -60,7 +66,7 @@ def cosine_near_dup_clusters(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
     )
-    labels = connected_components(edges, max_iters=max_iters)
+    labels = adaptive_components(embeddings.sparkSession, edges, max_iters=max_iters)
     return labels.select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_rep")
     )

@@ -96,7 +96,14 @@ def candidate_pairs(
     array transforms) into BOTH join sides and the size aggregate,
     recomputing it three times — measured 75s → 3s at sf0.01.
     """
-    bk = band_buckets(sigs, bands).localCheckpoint(eager=True)
+    # r07: LAZY checkpoint — the band table materializes inside the
+    # first consuming job (sizes agg / probe join) instead of costing a
+    # separate eager job; the LogicalRDD barrier against Catalyst
+    # re-inlining the signature tree stands either way. ``sigs`` stays
+    # EAGER in near_duplicates: its three consumers sit in potentially
+    # concurrent stages, and a lazy checkpoint could double-compute the
+    # expensive shingle×K-md5 pass at scale.
+    bk = band_buckets(sigs, bands).localCheckpoint(eager=False)
     sizes = (
         bk.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))

@@ -184,8 +184,17 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental path and the ground-truth fixpoint hash-mismatches.
     cc_components (full-CC on the same graph) moves to the FOLDED
     pytest oracle; full CC stays driver-checked in cc_canonical_map
-    and inside pipeline_triples_all."""
-    from pie_spark.canon.cc import connected_components, incremental_components
+    and inside pipeline_triples_all.
+
+    r07: the OLD map is built via adaptive_components — the repo's
+    size-adaptive CC entry point (driver union-find under the
+    5M-edge threshold, salted distributed loop above) — matching how a
+    standing landing zone would actually obtain it; the iterated
+    distributed loop remains headline-timed in cc_canonical_map and
+    cross-engine-pinned in the folded cc_components oracle. Labels are
+    identical on both paths (tests/test_cc.py), so the driver hash is
+    unchanged."""
+    from pie_spark.canon.cc import adaptive_components, incremental_components
 
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source", (F.col("doc_id") % 50).alias("g")).orderBy("doc_id")
@@ -198,7 +207,7 @@ def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_delta = (F.col("dst").cast("long") % 4) == 0
-    old_labels = connected_components(edges.filter(~is_delta))
+    old_labels = adaptive_components(spark, edges.filter(~is_delta))
     return incremental_components(spark, old_labels, edges.filter(is_delta))
 
 
