@@ -51,45 +51,41 @@ def merge_mentions(*mention_dfs: DataFrame) -> DataFrame:
     tests/test_plans.py)."""
     unioned = reduce(lambda a, b: a.unionByName(b), mention_dfs)
 
+    # r07: the doc-wide coordinates are materialized ONCE as attributes.
+    # When each window recomputed them inline, the two grouping windows
+    # referenced distinct expression IDs and Catalyst planned TWO
+    # identical full sorts of the mention set; with shared attributes
+    # both windows collapse onto one Sort. (A min_by-aggregation winner
+    # election was measured as the alternative and rejected: min_by over
+    # a struct plans as SortAggregate, re-adding the sort it saved.)
     span_base = F.col("span_idx").cast("long") * F.lit(1 << 32)
-    gstart = span_base + F.col("start")
-    gend = span_base + F.col("end")
-    order = Window.partitionBy("doc_id").orderBy(
-        gstart.asc(), gend.desc(), F.col("detector").asc(), F.col("mention_type").asc()
+    coords = unioned.withColumn("__gs", span_base + F.col("start")).withColumn(
+        "__ge", span_base + F.col("end")
     )
-    prev_max_end = F.max(gend).over(order.rowsBetween(Window.unboundedPreceding, -1))
-    grouped = unioned.withColumn(
+    order = Window.partitionBy("doc_id").orderBy(
+        F.col("__gs").asc(), F.col("__ge").desc(),
+        F.col("detector").asc(), F.col("mention_type").asc(),
+    )
+    prev_max_end = F.max("__ge").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = coords.withColumn(
         "new_group",
-        F.when(prev_max_end.isNull() | (gstart >= prev_max_end), 1).otherwise(0),
+        F.when(prev_max_end.isNull() | (F.col("__gs") >= prev_max_end), 1).otherwise(0),
     ).withColumn(
         "overlap_group",
         F.sum("new_group").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
-    # Winner per group via min_by over the SAME total order the old
-    # row_number window used (priority, longer span, earlier start,
-    # surface, detector) — r07: an aggregation gets map-side partial
-    # combine and, unlike the window, needs NO second sort of the full
-    # mention set; it rides the window's hash(doc_id) partitioning
-    # exchange-free (clustering on (doc_id, overlap_group) is satisfied
-    # by hash(doc_id)). Total order ⇒ the elected row is identical.
-    # doc_id stays the GROUPING attribute in the output (not best.doc_id):
-    # only then does Catalyst see the agg's hash(doc_id) partitioning as
-    # satisfying downstream clustering (linking), keeping it exchange-free
-    out_cols = [
-        c for c in grouped.columns if c not in ("doc_id", "new_group", "overlap_group")
-    ]
-    order_key = F.struct(
-        _priority().alias("prio"),
-        (F.col("start") - F.col("end")).alias("neg_len"),
-        gstart.alias("gstart"),
-        F.col("surface").alias("surface"),
-        F.col("detector").alias("detector"),
+    rank = Window.partitionBy("doc_id", "overlap_group").orderBy(
+        _priority().asc(),
+        (F.col("end") - F.col("start")).desc(),
+        F.col("__gs").asc(),
+        F.col("surface").asc(),
+        F.col("detector").asc(),
     )
     return (
-        grouped.groupBy("doc_id", "overlap_group")
-        .agg(F.min_by(F.struct(*out_cols), order_key).alias("best"))
-        .select("doc_id", "best.*")
+        grouped.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "new_group", "overlap_group", "__gs", "__ge")
         .withColumn(
             "mention_id",
             F.xxhash64("doc_id", "span_idx", "start", "end", "mention_type"),

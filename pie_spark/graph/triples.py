@@ -150,8 +150,28 @@ def all_triples(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    return unioned.groupBy("subj", "pred", "obj", "doc_id").agg(
-        F.max("subj_type").alias("subj_type"),
-        F.max("obj_type").alias("obj_type"),
-        F.max("confidence").alias("confidence"),
-    ).select("subj", "pred", "obj", "subj_type", "obj_type", "doc_id", "confidence")
+    # r07: subj_type/obj_type are FUNCTIONS of pred (MENTIONS → DOC/
+    # PERSON, HAS_MEDIA → DOC/MEDIA, HAS_<pii> → PERSON/<pii>), so they
+    # are re-derived after the dedup instead of carried through it as
+    # max(string) aggregates. With only the max(confidence) double
+    # buffer left, the A5 dedup plans as a HashAggregate — the old
+    # string buffers forced SortAggregate, i.e. a full sort of every
+    # triple on both sides of the exchange (the same pathology the r03
+    # passage-survivor audit fixed; now plan-pinned for triples too).
+    # max() over the single-valued type columns equals the value, so
+    # results are identical.
+    deduped = unioned.groupBy("subj", "pred", "obj", "doc_id").agg(
+        F.max("confidence").alias("confidence")
+    )
+    subj_type = F.when(
+        F.col("pred").isin("MENTIONS", "HAS_MEDIA"), "DOC"
+    ).otherwise("PERSON")
+    obj_type = (
+        F.when(F.col("pred") == "MENTIONS", "PERSON")
+        .when(F.col("pred") == "HAS_MEDIA", "MEDIA")
+        .otherwise(F.substring("pred", 5, 2_000_000))
+    )
+    return deduped.select(
+        "subj", "pred", "obj", subj_type.alias("subj_type"),
+        obj_type.alias("obj_type"), "doc_id", "confidence",
+    )

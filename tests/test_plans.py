@@ -83,6 +83,41 @@ def test_merge_windows_share_one_shuffle(spark, docs_parquet):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_triple_dedup_is_hash_agg(spark, docs_parquet):
+    """r07: the A5 triple dedup must plan as a hash aggregate — with the
+    type columns re-derived from pred after the dedup, the only
+    aggregation buffer is max(confidence) (fixed-width double). The old
+    max(string) buffers degraded the whole corpus-sized dedup to
+    SortAggregate."""
+    from pie_spark.config import PipelineConfig
+    from pie_spark.pipeline import run
+
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    res = run(spark, PipelineConfig(), docs, entity_dict_df(spark))
+    plan = _explain(res.triples, "simple")
+    # the (subj, pred, obj, doc_id) dedup itself must hash-aggregate
+    # (upstream linking legitimately keeps its min_by sort-agg)
+    assert "HashAggregate(keys=[subj" in plan
+    assert "SortAggregate(key=[subj" not in plan
+    assert "partial_max" in plan  # map-side combine on confidence
+    res.unpersist()
+
+
+def test_merge_grouping_windows_share_one_sort(spark, docs_parquet):
+    """r07: the two overlap-grouping windows order by the SAME
+    materialized __gs/__ge attributes, so they collapse onto one Sort —
+    the whole merge is exactly two sorts (grouping + winner ranking),
+    not three."""
+    docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
+    txt = text_spans(explode_spans(docs))
+    from pie_spark.extract.fused import fused_matches
+
+    surfaces = [r.surface for r in entity_dict_df(spark).select("surface").collect()]
+    merged = merge_mentions(fused_matches(txt, spark, surfaces))
+    plan = _explain(merged, "simple")
+    assert plan.count("+- Sort ") == 2
+
+
 def test_linking_top1_is_hash_agg_not_sort(spark, docs_parquet):
     docs = spark.read.schema(DOC_SCHEMA).parquet(docs_parquet)
     txt = text_spans(explode_spans(docs))
