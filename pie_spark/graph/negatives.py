@@ -64,6 +64,32 @@ from pyspark.sql import functions as F
 from pie_spark.dedup.shingles import h64
 
 PACK = 1 << 40  # probe·PACK + idx: idx < 2^40, probe < 2^23 → < 2^63
+MAX_PROBES = 1 << 23
+
+# vocab tables at/below this row count ship with an explicit broadcast
+# hint; past it the hint is DROPPED and the planner (AQE) picks the
+# strategy — a forced broadcast of a 10^9-entity vocab would OOM the
+# driver instead of degrading to a shuffle join (ADVICE r06)
+BROADCAST_MAX_ENTS = 10_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_MAX_ENTS else df
+
+
+def _check_pack(n_ents: int, probes: int) -> None:
+    """Fail fast before the packed min-election could silently corrupt
+    (ADVICE r06): the encoding probe·2^40 + idx requires idx < 2^40 and
+    probe < 2^23 — 2^40 ≈ 1.1e12 is the same order as the advertised
+    design point, so this is a real runtime guard, not dead code."""
+    if n_ents >= PACK:
+        raise ValueError(
+            f"entity vocabulary has {n_ents} entries — the packed "
+            f"min-probe election supports < {PACK} (2^40); shard the "
+            "vocabulary or widen the packing"
+        )
+    if probes >= MAX_PROBES:
+        raise ValueError(f"probes={probes} must be < {MAX_PROBES} (2^23)")
 
 
 def entity_vocab(triples: DataFrame) -> DataFrame:
@@ -96,11 +122,12 @@ def transe_negatives(
     triples = triples.select("subj", "pred", "obj").distinct()
     vocab = entity_vocab(triples).localCheckpoint(eager=True)
     n_ents = vocab.count()  # bounded 1-row driver agg (pagerank precedent)
+    _check_pack(n_ents, probes)
 
     # feeds BOTH the candidate fan-out and the anti-join's build side —
     # checkpoint so the triple scan + vocab join runs once, not twice
     true_idx = (
-        triples.join(F.broadcast(vocab), triples.obj == vocab.entity)
+        triples.join(_maybe_broadcast(vocab, n_ents), triples.obj == vocab.entity)
         .select("subj", "pred", F.col("idx").alias("obj_idx"))
         .localCheckpoint(eager=True)
     )
@@ -167,14 +194,17 @@ def transe_negatives(
     )
     out = (
         elected.join(
-            F.broadcast(vocab.select(F.col("idx").alias("obj_idx"), "entity")),
+            _maybe_broadcast(
+                vocab.select(F.col("idx").alias("obj_idx"), "entity"), n_ents
+            ),
             "obj_idx",
         )
         .withColumnRenamed("entity", "obj")
         .join(
-            F.broadcast(
+            _maybe_broadcast(
                 vocab.select(F.col("idx").alias("neg_idx"),
-                             F.col("entity").alias("neg_obj"))
+                             F.col("entity").alias("neg_obj")),
+                n_ents,
             ),
             "neg_idx",
         )
@@ -232,6 +262,8 @@ def weighted_negatives(
         .select("entity", "idx", "cum_lo", "cum_hi")
         .localCheckpoint(eager=True)
     )
+    n_ents = cum.count()  # bounded driver long (same precedent as above)
+    _check_pack(n_ents, probes)
     bounds = cum.agg(
         F.max("cum_hi").alias("m"), F.max(F.col("cum_hi") - F.col("cum_lo") + 1).alias("mw")
     ).collect()[0]  # bounded: two longs
@@ -298,8 +330,9 @@ def weighted_negatives(
         )
     )
     return elected.join(
-        F.broadcast(
-            cum.select(F.col("idx").alias("neg_idx"), F.col("entity").alias("neg_obj"))
+        _maybe_broadcast(
+            cum.select(F.col("idx").alias("neg_idx"), F.col("entity").alias("neg_obj")),
+            n_ents,
         ),
         "neg_idx",
     ).select("subj", "pred", "obj", "slot", "probe", "neg_obj")

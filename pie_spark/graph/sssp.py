@@ -107,8 +107,14 @@ def sssp_distances(
         )
         settled = new
         if frontier.limit(1).count() == 0:  # bounded convergence probe
-            break
-    return settled
+            return settled
+    # no-silent-caps rule (ADVICE r06): a relaxation that still has an
+    # active frontier after max_rounds would return WRONG distances with
+    # no signal — raise like connected_components does at its cap
+    raise RuntimeError(
+        f"sssp_distances did not converge within {max_rounds} rounds "
+        "(weighted diameter exceeds the cap); raise max_rounds"
+    )
 
 
 def sssp_reference(

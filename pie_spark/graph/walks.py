@@ -279,7 +279,11 @@ def node2vec_walks(
             .alias("path"),
         )
 
-    frontier = _first_order(frontier, 1)
+    # walk_len <= 1 yields bare start nodes, matching the reference's
+    # range(1, walk_len) loop (ADVICE r06: the unconditional hop-1 step
+    # produced 2-node paths at this degenerate parameter)
+    if walk_len > 1:
+        frontier = _first_order(frontier, 1)
     for t in range(2, walk_len):
         fr = frontier.join(deg, frontier.cur == F.col("deg_src"), "left")
         plain = fr.filter(
